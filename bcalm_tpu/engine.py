@@ -1,0 +1,230 @@
+"""Single-chip end-to-end pipeline: reads -> compacted unitigs + links.
+
+The TPU-native analog of GraphUnitigsTemplate<span>::create(input, false)
+(/root/reference/src/bcalm_1.cpp:52-57), which in the reference drives
+bank -> DSK counting -> bcalm2 -> bglue -> links (SURVEY.md §4).  Here the
+stages are:
+
+  1. host packing (io.packing)        ~ gatb bank + Sequence2SuperKmer
+  2. device extraction (ops.extract)  ~ ModelCanonical/ModelMinimizer loops
+  3. device counting  (ops.count)     ~ SortingCountAlgorithm (DSK)
+  4. device junctions (ops.junctions) ~ bcalm2 bucket compaction decisions
+  5. device chains    (ops.chains)    ~ bglue union-find + chain walking
+  6. host assembly + link join        ~ glue concatenation + LinkTigs
+
+Stages 4-5 use fixed capacities: the host reads back the solid-k-mer count
+and re-slices device arrays to the next power of two, bounding the set of
+compiled shapes (the analog of the reference's KSIZE_LIST/partition-count
+static configuration).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bcalm_tpu.io import packing
+from bcalm_tpu.models import lanes as ln
+from bcalm_tpu.ops import chains as chains_op
+from bcalm_tpu.ops import count as count_op
+from bcalm_tpu.ops import extract as extract_op
+from bcalm_tpu.ops import junctions as junctions_op
+from bcalm_tpu.utils import dna
+
+
+@dataclass
+class EngineConfig:
+    k: int = 31
+    abundance_min: int = 2
+    abundance_max: int = 2**31 - 1
+    block_reads: int = 4096
+    max_len: int = 512
+    histo_max: int = 10000
+
+
+@dataclass
+class UnitigSet:
+    """Engine output: the compacted bi-directed de Bruijn graph."""
+
+    k: int
+    seqs: List[str]
+    kc: np.ndarray                # (U,) total k-mer abundance per unitig
+    abundances: List[np.ndarray]  # per-k-mer abundances along each unitig
+    circular: np.ndarray          # (U,) bool
+    links: List[Tuple[int, str, int, str]] = field(default_factory=list)
+    histogram: Optional[np.ndarray] = None
+    stats: Dict = field(default_factory=dict)
+
+    @property
+    def km(self) -> np.ndarray:
+        return self.kc / np.maximum(1, np.array([len(a) for a in self.abundances]))
+
+
+def _round_capacity(n: int) -> int:
+    """Round up to the next power of two (>= 16) to bound compiled shapes."""
+    c = 16
+    while c < n:
+        c *= 2
+    return c
+
+
+def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
+    """Extract + count canonical k-mers over all blocks.
+
+    Returns (unique, counts, n_unique) device arrays (sorted, compacted).
+    """
+    all_lanes = []
+    all_valid = []
+    n_reads = 0
+    n_bases = 0
+    for block in blocks:
+        canon, valid = extract_op.extract_canonical(
+            jnp.asarray(block.words), jnp.asarray(block.lengths), cfg.k
+        )
+        L = canon.shape[-1]
+        all_lanes.append(canon.reshape(-1, L))
+        all_valid.append(valid.reshape(-1))
+        n_reads += int((block.lengths > 0).sum())
+        n_bases += int(block.lengths.sum())
+    if not all_lanes:
+        L = ln.num_lanes(cfg.k)
+        empty = jnp.zeros((16, L), dtype=jnp.uint32)
+        return empty, jnp.zeros((16,), jnp.int32), jnp.asarray(0, jnp.int32), {}
+    lanes = jnp.concatenate(all_lanes)
+    valid = jnp.concatenate(all_valid)
+    unique, counts, n_unique = count_op.count_canonical(lanes, valid)
+    stats = {
+        "reads": n_reads,
+        "bases": n_bases,
+        "kmer_occurrences": int(valid.sum()),
+    }
+    return unique, counts, n_unique, stats
+
+
+def compact_solid(solid: jnp.ndarray, counts: jnp.ndarray, n_solid: int, k: int):
+    """Junction + chain stages on a (C, L) solid set (C = padded capacity)."""
+    C = solid.shape[0]
+    succ, out_deg = junctions_op.successor_arrays(
+        solid, jnp.asarray(n_solid, jnp.int32), k
+    )
+    oid = np.arange(2 * C, dtype=np.int64)
+    valid_oriented = jnp.asarray((oid % C) < n_solid)
+    info = chains_op.chain_decompose(succ, valid_oriented)
+    return succ, out_deg, info
+
+
+def assemble_unitigs(
+    solid: jnp.ndarray,
+    counts: jnp.ndarray,
+    info: dict,
+    k: int,
+) -> Tuple[List[str], np.ndarray, List[np.ndarray], np.ndarray]:
+    """Host-side spelling of unitigs from chain assignments.
+
+    Returns (seqs, kc, abundance_vectors, circular).
+    """
+    C = solid.shape[0]
+    uid = np.asarray(info["uid"])
+    rank = np.asarray(info["rank"])
+    n_unitigs = int(info["n_unitigs"])
+    length = np.asarray(info["length"])[:n_unitigs]
+    start_oid = np.asarray(info["start_oid"])[:n_unitigs]
+    circular = np.asarray(info["circular"])[:n_unitigs]
+
+    solid_np = np.asarray(solid)
+    counts_np = np.asarray(counts)
+
+    member = uid >= 0
+    m_uid = uid[member]
+    m_rank = rank[member]
+    m_oid = np.nonzero(member)[0]
+    m_vertex = np.where(m_oid >= C, m_oid - C, m_oid)
+    m_orient = m_oid >= C
+
+    order = np.lexsort((m_rank, m_uid))
+    m_uid, m_rank, m_vertex, m_orient = (
+        m_uid[order], m_rank[order], m_vertex[order], m_orient[order]
+    )
+    # last base of each oriented k-mer spelling
+    last_b = np.where(
+        m_orient,
+        ((solid_np[m_vertex, 0] >> np.uint32(2 * (ln.top_lane_bases(k) - 1))) & 3) ^ 2,
+        solid_np[m_vertex, -1] & 3,
+    ).astype(np.uint8)
+    m_count = counts_np[m_vertex]
+
+    offsets = np.concatenate([[0], np.cumsum(length)])
+    seqs: List[str] = []
+    abund: List[np.ndarray] = []
+    for u in range(n_unitigs):
+        a, b = offsets[u], offsets[u + 1]
+        v0 = start_oid[u]
+        vert0 = v0 - C if v0 >= C else v0
+        first = ln.lanes_to_int(solid_np[vert0])
+        s0 = ln.int_to_string(first, k)
+        if v0 >= C:
+            s0 = dna.revcomp(s0)
+        tail = dna.codes_to_str(last_b[a + 1 : b]) if b - a > 1 else ""
+        seqs.append(s0 + tail)
+        abund.append(m_count[a:b].copy())
+    kc = np.array([int(a.sum()) for a in abund], dtype=np.int64)
+    return seqs, kc, abund, circular
+
+
+def link_join(seqs: List[str], k: int) -> List[Tuple[int, str, int, str]]:
+    """All (k-1)-overlap links between unitig extremities (LinkTigs analog,
+    gatb debruijn/impl/LinkTigs — reconstructed; output grammar
+    /root/reference/README.md:72, all mirror edges recorded per
+    bidirected-graphs-in-bcalm2.md:101)."""
+    prefix_map: Dict[str, List[Tuple[int, str]]] = {}
+    for i, s in enumerate(seqs):
+        for sign, t in (("+", s), ("-", dna.revcomp(s))):
+            prefix_map.setdefault(t[: k - 1], []).append((i, sign))
+    links = set()
+    for i, s in enumerate(seqs):
+        for sign, t in (("+", s), ("-", dna.revcomp(s))):
+            for (j, q) in prefix_map.get(t[-(k - 1):], []):
+                links.add((i, sign, j, q))
+    return sorted(links)
+
+
+def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig) -> UnitigSet:
+    unique, counts, n_unique, stats = count_blocks(blocks, cfg)
+    histo = np.asarray(
+        count_op.abundance_histogram(counts, n_unique, histo_max=cfg.histo_max)
+    )
+    solid, solid_counts, n_solid = count_op.filter_abundance(
+        unique, counts, n_unique, cfg.abundance_min, cfg.abundance_max
+    )
+    n_solid = int(n_solid)
+    stats["distinct_kmers"] = int(n_unique)
+    stats["solid_kmers"] = n_solid
+
+    if n_solid == 0:
+        return UnitigSet(
+            k=cfg.k, seqs=[], kc=np.zeros(0, np.int64), abundances=[],
+            circular=np.zeros(0, bool), links=[], histogram=histo, stats=stats,
+        )
+
+    cap = _round_capacity(n_solid)
+    solid_c = solid[:cap]
+    counts_c = solid_counts[:cap]
+    succ, out_deg, info = compact_solid(solid_c, counts_c, n_solid, cfg.k)
+    seqs, kc, abund, circular = assemble_unitigs(solid_c, counts_c, info, cfg.k)
+    links = link_join(seqs, cfg.k)
+    stats["unitigs"] = len(seqs)
+    return UnitigSet(
+        k=cfg.k, seqs=seqs, kc=kc, abundances=abund, circular=circular,
+        links=links, histogram=histo, stats=stats,
+    )
+
+
+def build_from_seqs(seqs: Iterable[str], cfg: EngineConfig) -> UnitigSet:
+    blocks = packing.iter_blocks(
+        seqs, cfg.k, block_reads=cfg.block_reads, max_len=cfg.max_len
+    )
+    return build_from_blocks(blocks, cfg)

@@ -1,0 +1,111 @@
+"""End-to-end engine vs brute-force oracle on fixtures + random genomes.
+
+The content-equality oracle follows the reference's own test semantics
+(/root/reference/test/simple_test.sh: k-mer content equality; BASELINE:
+unitig sets equal up to orientation/ID permutation).
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from bcalm_tpu import engine
+from bcalm_tpu.oracle import brute
+from tests.test_oracle import TINY, MINITIP_SEQS, CIRC1, CIRC2, CIRC3, PUFFERIZE
+
+
+def to_brute_graph(us: engine.UnitigSet) -> brute.CompactedGraph:
+    unitigs = [
+        brute.Unitig(seq=s, kc=int(us.kc[i]), abundances=list(us.abundances[i]),
+                     is_circular=bool(us.circular[i]))
+        for i, s in enumerate(us.seqs)
+    ]
+    return brute.CompactedGraph(k=us.k, unitigs=unitigs, links=list(us.links))
+
+
+def compare(seqs, k, amin=1, amax=2**31 - 1):
+    cfg = engine.EngineConfig(k=k, abundance_min=amin, abundance_max=amax,
+                              block_reads=32, max_len=128)
+    got = engine.build_from_seqs(seqs, cfg)
+    expect = brute.build(seqs, k, abundance_min=amin, abundance_max=amax)
+
+    got_set = brute.canonical_unitig_set(got.seqs)
+    exp_set = brute.canonical_unitig_set([u.seq for u in expect.unitigs])
+    assert got_set == exp_set
+
+    # KC / km / abundance vectors match per unitig (keyed by canonical seq)
+    def kc_map(unitigs):
+        return {brute.unitig_key(u.seq): (u.kc, sorted(u.abundances))
+                for u in unitigs}
+
+    assert kc_map(to_brute_graph(got).unitigs) == kc_map(expect.unitigs)
+
+    # link sets match modulo orientation/ID permutation
+    assert (brute.canonical_link_set(to_brute_graph(got))
+            == brute.canonical_link_set(expect))
+
+    # circular flags (keyed)
+    got_circ = {brute.unitig_key(s) for i, s in enumerate(got.seqs) if got.circular[i]}
+    exp_circ = {brute.unitig_key(u.seq) for u in expect.unitigs if u.is_circular}
+    assert got_circ == exp_circ
+    return got
+
+
+def test_tiny_read():
+    got = compare([TINY], 13, amin=1)
+    assert len(got.seqs) == 1
+
+
+def test_minitip():
+    got = compare(MINITIP_SEQS, 21, amin=2)
+    assert len(got.seqs) == 1 and len(got.seqs[0]) == 40
+    compare(MINITIP_SEQS, 21, amin=1)
+
+
+def test_circular():
+    got = compare([CIRC1], 7, amin=1)
+    assert bool(got.circular[0])
+
+
+def test_polyA():
+    compare([CIRC2], 7, amin=1)
+
+
+def test_circular_decoy():
+    compare(CIRC3, 7, amin=1)
+
+
+def test_pufferize():
+    compare(PUFFERIZE, 9, amin=1)
+
+
+def test_spec_example():
+    compare(["GTATAC"], 3, amin=1)
+
+
+@pytest.mark.parametrize("seed,k,amin", [
+    (0, 5, 1), (1, 7, 1), (2, 11, 2), (3, 21, 1), (4, 21, 2), (5, 31, 1),
+    (6, 33, 1),
+])
+def test_random_genomes(seed, k, amin):
+    rng = random.Random(seed)
+    genome = "".join(rng.choice("ACGT") for _ in range(400))
+    reads = []
+    for _ in range(150):
+        i = rng.randrange(0, len(genome) - k - 10)
+        reads.append(genome[i: i + rng.randint(k + 2, k + 40)])
+    compare(reads, k, amin=amin)
+
+
+def test_repeat_heavy():
+    """Short tandem repeats stress self-loops and tiny cycles."""
+    seqs = ["ATATATATATATATAT", "ACGACGACGACGACG", "AAAAAAAAAA",
+            "ACGTACGTACGTACGT"]
+    for k in (5, 7):
+        compare(seqs, k, amin=1)
+
+
+def test_abundance_max():
+    seqs = ["ACGTTGCATGCAAGGT"] * 5 + ["TTGCATGCA"]
+    compare(seqs, 7, amin=1, amax=5)

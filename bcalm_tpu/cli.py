@@ -1,0 +1,220 @@
+"""bcalm-compatible command-line interface.
+
+Option surface mirrors the reference (union of README.md:11-25,74,
+src/bcalm_1.cpp:16-43 incl. hidden options, scripts/pufferize.py:143 and
+the circular-unitig test CMD files — SURVEY.md §6 'Config/flag system'):
+
+    bcalm-tpu -in reads.fa -kmer-size 31 -abundance-min 2 [-out prefix] ...
+
+Artifacts follow the reference naming proven by test/simple_test.sh:
+input X.fa -> X.unitigs.fa, intermediate store X_btpu/ (the .h5 analog,
+deleted after a successful run like src/bcalm_1.cpp:64-77).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Optional
+
+from bcalm_tpu.version import version_string
+from bcalm_tpu.utils.options import OptionFailure, OptionsParser
+from bcalm_tpu.utils.timeinfo import TimeInfo, peak_rss_mb
+
+
+def build_parser() -> OptionsParser:
+    p = OptionsParser("bcalm-tpu")
+    # core graph options (GraphUnitigsTemplate::getOptionsParser analog)
+    p.one_param("-in", "input reads (fasta/fastq[.gz] or file of filenames)",
+                mandatory=True)
+    p.one_param("-out", "output prefix", default=None)
+    p.one_param("-kmer-size", "k-mer size", default="31")
+    p.one_param("-abundance-min",
+                "filter k-mers seen strictly fewer times than this",
+                default="2")
+    p.one_param("-abundance-max", "max k-mer abundance", default=str(2**31 - 1),
+                visible=False)
+    p.one_param("-minimizer-size", "minimizer size", default="10")
+    p.one_param("-minimizer-type", "0: lexicographic, 1: frequency-based",
+                default="1")
+    p.one_param("-repartition-type", "0: uniform, 1: frequency-balanced",
+                default="1")
+    p.one_param("-max-memory", "max device memory in MB", default="0")
+    p.one_param("-max-disk", "unused (TPU pipeline is disk-free)", default="0",
+                visible=False)
+    p.one_param("-nb-cores", "host worker threads (0=auto)", default="0")
+    p.one_param("-verbose", "verbosity level", default="1")
+    p.no_param("-all-abundance-counts",
+               "emit ab:Z: per-k-mer abundance vectors in headers")
+    # stage-skipping / resume flags (scripts/pufferize.py:143)
+    p.no_param("-skip-bcalm", "reuse stored counts, skip counting+compaction input")
+    p.no_param("-skip-bglue", "with -skip-bcalm: skip gluing")
+    p.no_param("-redo-links", "recompute L: link annotations of an existing "
+                              "unitigs file")
+    p.one_param("-nb-glue-partitions", "legacy: glue partition count",
+                default="0", visible=False)
+    # hidden gatb options surfaced for parity (src/bcalm_1.cpp:34-37)
+    p.one_param("-histo-max", "max histogram bin", default="10000",
+                visible=False)
+    p.one_param("-solidity-kind", "multi-sample solidity (sum only)",
+                default="sum", visible=False)
+    p.one_param("-abundance-min-threshold", "legacy", default="2",
+                visible=False)
+    p.one_param("-solid-kmers-out", "write solid (kmer,count) pairs to file",
+                default=None, visible=False)
+    # TPU-specific
+    p.one_param("-devices", "number of devices to use (0 = all)", default="0")
+    p.no_param("-version", "show version")
+    p.no_param("-help", "show this help")
+    p.no_param("-h", "show this help", visible=False)
+    return p
+
+
+def default_prefix(in_path: str) -> str:
+    base = os.path.basename(in_path)
+    for ext in (".gz",):
+        if base.endswith(ext):
+            base = base[: -len(ext)]
+    root, ext = os.path.splitext(base)
+    return root if ext in (".fa", ".fasta", ".fq", ".fastq", ".txt", ".list") \
+        else base
+
+
+def redo_links(unitigs_path: str, k: int, verbose: int) -> None:
+    """Recompute all L: entries of an existing unitigs file in place
+    (LinkTigs re-run, the `-redo-links` workflow of pufferize.py:139-144)."""
+    from bcalm_tpu import engine
+    from bcalm_tpu.io import fasta_writer
+    import numpy as np
+
+    seqs, headers = fasta_writer.parse_unitigs_fasta(unitigs_path)
+    links = engine.link_join(seqs, k)
+    us = engine.UnitigSet(
+        k=k, seqs=seqs,
+        kc=np.zeros(len(seqs), np.int64),
+        abundances=[np.zeros(max(1, len(s) - k + 1), np.int32) for s in seqs],
+        circular=np.zeros(len(seqs), bool),
+        links=links,
+    )
+    # preserve original non-link fields, replace links
+    out_lines = []
+    for i, h in enumerate(headers):
+        toks = [t for t in h.split(" ") if t and not t.startswith("L:")]
+        for (u, su, v, sv) in links:
+            if u == i:
+                toks.append(f"L:{su}:{v}:{sv}")
+        out_lines.append(">" + " ".join(toks))
+    with open(unitigs_path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(out_lines[i] + "\n")
+            f.write(s + "\n")
+    if verbose:
+        print(f"re-linked {len(seqs)} unitigs -> {unitigs_path}")
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "-version" in argv or "--version" in argv:
+        print(version_string())
+        return 0
+    parser = build_parser()
+    try:
+        props = parser.parse(argv)
+    except OptionFailure as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    if props.get_bool("-help") or props.get_bool("-h"):
+        print(parser.usage())
+        return 0
+
+    from bcalm_tpu import engine
+    from bcalm_tpu.io import bank as bank_mod
+    from bcalm_tpu.io import fasta_writer, packing
+    from bcalm_tpu.storage.store import Store
+
+    k = props.get_int("-kmer-size")
+    verbose = props.get_int("-verbose")
+    in_path = props.get_str("-in")
+    prefix = props.get_str("-out") or default_prefix(in_path)
+    unitigs_path = prefix + ".unitigs.fa"
+    ti = TimeInfo()
+
+    if props.get_bool("-redo-links"):
+        if not os.path.exists(unitigs_path):
+            print(f"-redo-links: {unitigs_path} not found", file=sys.stderr)
+            return 1
+        redo_links(unitigs_path, k, verbose)
+        return 0
+
+    cfg = engine.EngineConfig(
+        k=k,
+        abundance_min=props.get_int("-abundance-min"),
+        abundance_max=props.get_int("-abundance-max"),
+        histo_max=props.get_int("-histo-max"),
+    )
+    store = Store(prefix)
+
+    solid = counts = histo = None
+    stats = {}
+    if store.exists():
+        try:
+            with ti.timer("load_counts"):
+                solid, counts = store.read_counts(k)
+            histo = store.read_histogram()
+            if verbose:
+                print(f"reusing stored counts: {solid.shape[0]} solid k-mers "
+                      f"({store.path})")
+        except ValueError as e:
+            if verbose:
+                print(f"stored counts unusable ({e}); recounting")
+            solid = None
+
+    if solid is None:
+        if not os.path.exists(in_path):
+            print(f"input not found: {in_path}", file=sys.stderr)
+            return 1
+        bank = bank_mod.Bank.open(in_path)
+        with ti.timer("count"):
+            blocks = packing.iter_blocks(
+                bank.sequences(), k, block_reads=cfg.block_reads,
+                max_len=cfg.max_len,
+            )
+            solid, counts, histo, stats = engine.count_and_filter(blocks, cfg)
+        with ti.timer("store"):
+            store.write_counts(solid, counts, k, histogram=histo,
+                               config={"abundance_min": cfg.abundance_min})
+
+    solid_out = props.get_str("-solid-kmers-out")
+    if solid_out:
+        from bcalm_tpu.models import lanes as ln
+        with open(solid_out, "w") as f:
+            for i in range(solid.shape[0]):
+                f.write(f"{ln.int_to_string(ln.lanes_to_int(solid[i]), k)}\t"
+                        f"{int(counts[i])}\n")
+
+    with ti.timer("compact"):
+        us = engine.compact_from_counts(solid, counts, cfg)
+    us.stats.update(stats)
+    us.histogram = histo
+
+    with ti.timer("write"):
+        with open(unitigs_path, "w") as f:
+            fasta_writer.write_fasta(
+                us, f, all_abundance_counts=props.get_bool("-all-abundance-counts")
+            )
+
+    # end-of-run cleanup, mirroring the reference's .h5 removal
+    store.remove()
+
+    if verbose:
+        print(f"wrote {len(us.seqs)} unitigs -> {unitigs_path}")
+        for key, val in sorted(us.stats.items()):
+            print(f"    [{key}] {val}")
+        for name, secs in ti.report().items():
+            print(f"    [time:{name}] {secs:.2f}s")
+        print(f"    [peak_rss_mb] {peak_rss_mb():.0f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

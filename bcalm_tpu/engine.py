@@ -192,6 +192,34 @@ def link_join(seqs: List[str], k: int) -> List[Tuple[int, str, int, str]]:
     return sorted(links)
 
 
+def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
+                        cfg: EngineConfig) -> UnitigSet:
+    """Compaction + assembly + links from a host-side solid (kmer, count)
+    table (resume entry point: the analog of re-entering
+    GraphUnitigs::create with counting already in storage)."""
+    n_solid = int(solid_np.shape[0])
+    if n_solid == 0:
+        return UnitigSet(
+            k=cfg.k, seqs=[], kc=np.zeros(0, np.int64), abundances=[],
+            circular=np.zeros(0, bool), links=[], stats={"solid_kmers": 0},
+        )
+    cap = _round_capacity(n_solid)
+    L = solid_np.shape[1]
+    solid = jnp.asarray(np.concatenate(
+        [solid_np.astype(np.uint32), np.zeros((cap - n_solid, L), np.uint32)]
+    ))
+    counts = jnp.asarray(np.concatenate(
+        [counts_np.astype(np.int32), np.zeros((cap - n_solid,), np.int32)]
+    ))
+    succ, out_deg, info = compact_solid(solid, counts, n_solid, cfg.k)
+    seqs, kc, abund, circular = assemble_unitigs(solid, counts, info, cfg.k)
+    links = link_join(seqs, cfg.k)
+    return UnitigSet(
+        k=cfg.k, seqs=seqs, kc=kc, abundances=abund, circular=circular,
+        links=links, stats={"solid_kmers": n_solid, "unitigs": len(seqs)},
+    )
+
+
 def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig) -> UnitigSet:
     unique, counts, n_unique, stats = count_blocks(blocks, cfg)
     histo = np.asarray(
@@ -221,6 +249,26 @@ def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig) ->
         k=cfg.k, seqs=seqs, kc=kc, abundances=abund, circular=circular,
         links=links, histogram=histo, stats=stats,
     )
+
+
+def count_and_filter(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig):
+    """Counting phase -> host arrays (for storage/checkpoint + compaction).
+
+    Returns (solid_np (n,L) uint32, counts_np (n,) int32, histogram, stats).
+    """
+    unique, counts, n_unique, stats = count_blocks(blocks, cfg)
+    histo = np.asarray(
+        count_op.abundance_histogram(counts, n_unique, histo_max=cfg.histo_max)
+    )
+    solid, solid_counts, n_solid = count_op.filter_abundance(
+        unique, counts, n_unique, cfg.abundance_min, cfg.abundance_max
+    )
+    n_solid = int(n_solid)
+    stats["distinct_kmers"] = int(n_unique)
+    stats["solid_kmers"] = n_solid
+    solid_np = np.asarray(solid)[:n_solid]
+    counts_np = np.asarray(solid_counts)[:n_solid]
+    return solid_np, counts_np, histo, stats
 
 
 def build_from_seqs(seqs: Iterable[str], cfg: EngineConfig) -> UnitigSet:

@@ -1,0 +1,145 @@
+"""CLI + banks + writers end-to-end (the analog of test/simple_test.sh +
+example/run-tiny.sh, self-contained without network)."""
+
+import gzip
+import io
+import os
+
+import numpy as np
+import pytest
+
+from bcalm_tpu import cli, engine
+from bcalm_tpu.io import bank, fasta_writer, gfa
+from bcalm_tpu.oracle import brute
+
+TINY = "ACTGCTGACTGAGTCATGTGTGGGT"
+
+
+def write_fasta_file(path, seqs):
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">read{i}\n{s}\n")
+
+
+def test_run_tiny(tmp_path, capsys):
+    """run-tiny.sh: bcalm -in tiny_read.fa -kmer-size 13 -abundance-min 1."""
+    fa = tmp_path / "tiny_read.fa"
+    write_fasta_file(fa, [TINY])
+    rc = cli.main(["-in", str(fa), "-kmer-size", "13", "-abundance-min", "1",
+                   "-out", str(tmp_path / "tiny")])
+    assert rc == 0
+    out = tmp_path / "tiny.unitigs.fa"
+    seqs, headers = fasta_writer.parse_unitigs_fasta(str(out))
+    assert len(seqs) == 1
+    assert brute.unitig_key(seqs[0]) == brute.unitig_key(TINY)
+    assert headers[0].split(" ")[0] == "0"
+    assert "LN:i:25" in headers[0]
+    assert "KC:i:13" in headers[0]
+    assert "km:f:1.0" in headers[0]
+    # intermediate store removed after success (reference removes .h5)
+    assert not os.path.exists(str(tmp_path / "tiny") + "_btpu")
+
+
+def test_fastq_gz_and_album(tmp_path):
+    fq = tmp_path / "reads.fastq.gz"
+    with gzip.open(fq, "wt") as f:
+        for i in range(3):
+            f.write(f"@r{i}\n{TINY}\n+\n{'I' * len(TINY)}\n")
+    fa = tmp_path / "reads2.fa"
+    write_fasta_file(fa, [TINY])
+    album = tmp_path / "list_reads"
+    album.write_text("reads.fastq.gz\nreads2.fa\n")
+
+    b = bank.Bank.open(str(album))
+    seqs = list(b.sequences())
+    assert seqs == [TINY] * 4
+    n, total = b.estimate()
+    assert n == 4 and total == 4 * len(TINY)
+
+    rc = cli.main(["-in", str(album), "-kmer-size", "13", "-abundance-min", "4",
+                   "-out", str(tmp_path / "album")])
+    assert rc == 0
+    seqs, headers = fasta_writer.parse_unitigs_fasta(
+        str(tmp_path / "album.unitigs.fa"))
+    assert len(seqs) == 1
+    assert "KC:i:52" in headers[0]  # 13 k-mers x 4 copies
+
+
+def test_all_abundance_counts(tmp_path):
+    fa = tmp_path / "r.fa"
+    write_fasta_file(fa, [TINY] * 2)
+    rc = cli.main(["-in", str(fa), "-kmer-size", "13", "-abundance-min", "1",
+                   "-out", str(tmp_path / "r"), "-all-abundance-counts"])
+    assert rc == 0
+    _, headers = fasta_writer.parse_unitigs_fasta(str(tmp_path / "r.unitigs.fa"))
+    assert "ab:Z:" + " ".join(["2"] * 13) in headers[0]
+
+
+def test_redo_links(tmp_path):
+    seqs = ["ACTAATCATTACATGAGATCAGGCAATG",
+            "CAGGCAATGAGATGATAACATGATAGATGAGACCAATT",
+            "AATTGGTCTGGTTGGATTGTACTCATGATG"]
+    fa = tmp_path / "refs.fa"
+    write_fasta_file(fa, seqs)
+    rc = cli.main(["-in", str(fa), "-kmer-size", "9", "-abundance-min", "1",
+                   "-out", str(tmp_path / "refs")])
+    assert rc == 0
+    upath = str(tmp_path / "refs.unitigs.fa")
+    before_seqs, before_headers = fasta_writer.parse_unitigs_fasta(upath)
+    # the canonical resume command printed by pufferize.py:143
+    rc = cli.main(["-in", str(tmp_path / "refs"), "-skip-bcalm", "-skip-bglue",
+                   "-redo-links", "-kmer-size", "9",
+                   "-out", str(tmp_path / "refs")])
+    assert rc == 0
+    after_seqs, after_headers = fasta_writer.parse_unitigs_fasta(upath)
+    assert after_seqs == before_seqs
+    link = lambda hs: sorted(
+        (i, t) for i, h in enumerate(hs) for t in h.split(" ")
+        if t.startswith("L:"))
+    assert link(after_headers) == link(before_headers)
+
+
+def test_gfa_conversion(tmp_path):
+    fa = tmp_path / "c.fa"
+    write_fasta_file(fa, ["ACTTAGCGGACTTAGC"])
+    rc = cli.main(["-in", str(fa), "-kmer-size", "7", "-abundance-min", "1",
+                   "-out", str(tmp_path / "c")])
+    assert rc == 0
+    out = io.StringIO()
+    gfa.fasta_to_gfa(str(tmp_path / "c.unitigs.fa"), out, 7)
+    lines = out.getvalue().splitlines()
+    assert lines[0] == "H\tVN:Z:1.0\tks:i:7"
+    s_lines = [l for l in lines if l.startswith("S\t")]
+    l_lines = [l for l in lines if l.startswith("L\t")]
+    assert len(s_lines) == 1
+    # circular unitig: self-links on both strands, overlap k-1=6M
+    assert "L\t0\t+\t0\t+\t6M" in l_lines
+    assert "L\t0\t-\t0\t-\t6M" in l_lines
+    # single-directed drops the -/- self-link (convertToGFA.py:106-110)
+    out2 = io.StringIO()
+    gfa.fasta_to_gfa(str(tmp_path / "c.unitigs.fa"), out2, 7,
+                     single_directed=True)
+    l2 = [l for l in out2.getvalue().splitlines() if l.startswith("L\t")]
+    assert "L\t0\t+\t0\t+\t6M" in l2
+    assert "L\t0\t-\t0\t-\t6M" not in l2
+
+
+def test_version_and_errors(tmp_path, capsys):
+    assert cli.main(["-version"]) == 0
+    assert "bcalm-tpu" in capsys.readouterr().out
+    assert cli.main(["-bogus"]) == 1
+    assert cli.main(["-in", str(tmp_path / "missing.fa")]) == 1
+
+
+def test_solid_kmers_out(tmp_path):
+    fa = tmp_path / "r.fa"
+    write_fasta_file(fa, [TINY])
+    sk = tmp_path / "solid.txt"
+    rc = cli.main(["-in", str(fa), "-kmer-size", "13", "-abundance-min", "1",
+                   "-out", str(tmp_path / "r"), "-solid-kmers-out", str(sk)])
+    assert rc == 0
+    lines = sk.read_text().strip().splitlines()
+    assert len(lines) == 13
+    got = {l.split("\t")[0]: int(l.split("\t")[1]) for l in lines}
+    expect = brute.count_kmers([TINY], 13)
+    assert {brute.str2num(s): c for s, c in got.items()} == expect

@@ -1,0 +1,62 @@
+"""Distributed (8 virtual devices) pipeline vs single-device engine."""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+
+from bcalm_tpu import engine
+from bcalm_tpu.oracle import brute
+from bcalm_tpu.parallel import pipeline
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return pipeline.make_mesh(8)
+
+
+def make_reads(seed, k, n=120, glen=400):
+    rng = random.Random(seed)
+    genome = "".join(rng.choice("ACGT") for _ in range(glen))
+    return [
+        genome[i : i + rng.randint(k + 2, k + 40)]
+        for i in [rng.randrange(0, glen - k - 10) for _ in range(n)]
+    ]
+
+
+@pytest.mark.parametrize("seed,k,amin", [(0, 13, 1), (1, 21, 2), (2, 33, 1)])
+def test_distributed_matches_single(mesh, seed, k, amin):
+    reads = make_reads(seed, k)
+    cfg = engine.EngineConfig(k=k, abundance_min=amin, block_reads=64,
+                              max_len=128)
+    got = pipeline.distributed_build(reads, cfg, mesh)
+    expect = engine.build_from_seqs(reads, cfg)
+    assert brute.canonical_unitig_set(got.seqs) == \
+        brute.canonical_unitig_set(expect.seqs)
+    km = lambda us: {
+        brute.unitig_key(s): (int(us.kc[i]), sorted(us.abundances[i]))
+        for i, s in enumerate(us.seqs)
+    }
+    assert km(got) == km(expect)
+    assert len(got.links) == len(expect.links)
+
+
+def test_distributed_counts_vs_oracle(mesh):
+    k = 13
+    reads = make_reads(7, k, n=60)
+    words, lengths = pipeline.pack_global_blocks(reads, k, 8, block_reads=32,
+                                                 max_len=128)
+    import jax.numpy as jnp
+
+    res = pipeline.distributed_count(mesh, jnp.asarray(words),
+                                     jnp.asarray(lengths), k, cap_per_dest=4096)
+    assert res.dropped == 0
+    solid, counts = pipeline.gather_solid(res, 1, 2**31 - 1)
+    from bcalm_tpu.models import lanes as ln
+
+    got = {ln.lanes_to_int(solid[i]): int(counts[i])
+           for i in range(solid.shape[0])}
+    assert got == brute.count_kmers(reads, k)

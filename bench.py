@@ -88,19 +88,28 @@ def main():
         )
         return unique, counts, n_unique, solid, scounts, n_solid
 
+    def timed(fn, args, sync, reps=3):
+        """Time fn honestly: a host readback of a data-dependent scalar is
+        inside the timed region (block_until_ready is unreliable over the
+        tunneled backend)."""
+        out = fn(*args)
+        sync(out)
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn(*args)
+            sync(out)
+            times.append(time.time() - t0)
+        return min(times), out
+
     log("compiling count step ...")
     t0 = time.time()
     out = count_step(words_d, lengths_d)
-    jax.block_until_ready(out)
+    _ = int(out[2])
     log(f"first run (compile+exec): {time.time()-t0:.1f}s")
 
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        out = count_step(words_d, lengths_d)
-        jax.block_until_ready(out)
-        times.append(time.time() - t0)
-    t_count = min(times)
+    t_count, out = timed(count_step, (words_d, lengths_d),
+                         lambda o: int(o[2]) + int(o[5]))
     unique, counts, n_unique, solid, scounts, n_solid = out
     n_solid_i = int(n_solid)
     log(f"count: {t_count*1e3:.1f}ms for {n_kmer_occ} k-mer occurrences "
@@ -122,15 +131,10 @@ def main():
 
     t0 = time.time()
     cout = compact_step(solid_c, n_solid)
-    jax.block_until_ready(cout)
+    _ = int(cout[0])
     log(f"compact first run: {time.time()-t0:.1f}s")
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        cout = compact_step(solid_c, n_solid)
-        jax.block_until_ready(cout)
-        times.append(time.time() - t0)
-    t_compact = min(times)
+    t_compact, cout = timed(compact_step, (solid_c, n_solid),
+                            lambda o: int(o[0]))
     log(f"compact: {t_compact*1e3:.1f}ms -> {int(cout[0])} unitigs "
         f"({n_solid_i/t_compact:.3g} solid k-mers glued/s)")
 

@@ -112,6 +112,25 @@ def redo_links(unitigs_path: str, k: int, verbose: int) -> None:
         print(f"re-linked {len(seqs)} unitigs -> {unitigs_path}")
 
 
+def _input_blocks(bank, cfg, verbose: int):
+    """Packed-block stream: native C++ parser when available, else python."""
+    from bcalm_tpu.io import native as native_mod
+    from bcalm_tpu.io import packing
+
+    if native_mod.available():
+        if verbose > 1:
+            print("using native ingest (libbcalmio)")
+        for path in bank.paths:
+            yield from native_mod.iter_blocks_native(
+                path, cfg.k, block_reads=cfg.block_reads, max_len=cfg.max_len
+            )
+    else:
+        yield from packing.iter_blocks(
+            bank.sequences(), cfg.k, block_reads=cfg.block_reads,
+            max_len=cfg.max_len,
+        )
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if "-version" in argv or "--version" in argv:
@@ -175,10 +194,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 1
         bank = bank_mod.Bank.open(in_path)
         with ti.timer("count"):
-            blocks = packing.iter_blocks(
-                bank.sequences(), k, block_reads=cfg.block_reads,
-                max_len=cfg.max_len,
-            )
+            blocks = _input_blocks(bank, cfg, verbose)
             solid, counts, histo, stats = engine.count_and_filter(blocks, cfg)
         with ti.timer("store"):
             store.write_counts(solid, counts, k, histogram=histo,

@@ -1,0 +1,245 @@
+// Native ingest: FASTA/FASTQ(.gz) streaming parser + 2-bit block packer.
+//
+// TPU-native replacement for the reference's native bank layer (gatb
+// bank/impl/BankFasta with zlib — reconstructed, SURVEY.md §3.2): the
+// byte-bashing hot path (parse + validate + 2-bit pack) stays native, but
+// instead of yielding Sequence objects it fills fixed-shape uint32 blocks
+// ready for device infeed (layout identical to bcalm_tpu/io/packing.py:
+// 16 bases/word, big-endian within a word, A=0 C=1 T=2 G=3).
+//
+// Semantics mirror io/packing.py exactly (validated by tests):
+//   - non-ACGT characters split a read; pieces shorter than k are dropped,
+//   - pieces longer than the block's base capacity stream out as max_len
+//     windows overlapping by k-1 (exact k-mer multiset partition),
+//   - gzip handled transparently via zlib gzFile (plain files too).
+//
+// C ABI (consumed by bcalm_tpu/io/native.py via ctypes):
+//   void*   btpu_open(const char* path);           // NULL on failure
+//   long    btpu_next_block(void* h, int k, int block_reads,
+//                           int width_words, unsigned* words,
+//                           int* lengths);         // rows filled; 0 = EOF
+//   void    btpu_close(void* h);
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kBasesPerWord = 16;
+
+struct Lut {
+  uint8_t t[256];
+  Lut() {
+    memset(t, 255, sizeof(t));
+    t['A'] = t['a'] = 0;
+    t['C'] = t['c'] = 1;
+    t['T'] = t['t'] = 2;
+    t['G'] = t['g'] = 3;
+  }
+};
+const Lut kLut;
+
+enum Format { FMT_BAD = 0, FMT_FASTA, FMT_FASTQ };
+
+class Reader {
+ public:
+  explicit Reader(const char* path) : f_(gzopen(path, "rb")) {
+    if (f_ != nullptr) {
+      gzbuffer(f_, 1 << 20);
+      sniff();
+    }
+  }
+  ~Reader() {
+    if (f_ != nullptr) gzclose(f_);
+  }
+
+  bool ok() const { return f_ != nullptr && fmt_ != FMT_BAD; }
+
+  long next_block(int k, int block_reads, int width_words, uint32_t* words,
+                  int32_t* lengths) {
+    const size_t max_len = (size_t)width_words * kBasesPerWord;
+    const size_t step = max_len - (size_t)(k - 1);
+    memset(words, 0, sizeof(uint32_t) * (size_t)block_reads * width_words);
+    memset(lengths, 0, sizeof(int32_t) * (size_t)block_reads);
+    long fill = 0;
+    while (fill < block_reads) {
+      if (buf_.size() >= max_len) {  // full window ready
+        pack_row(buf_.data(), (int)max_len,
+                 words + (size_t)fill * width_words);
+        lengths[fill++] = (int32_t)max_len;
+        buf_.erase(buf_.begin(), buf_.begin() + step);
+        if (closed_ && buf_.size() < (size_t)k) {
+          buf_.clear();
+          closed_ = false;
+        }
+        continue;
+      }
+      if (closed_) {
+        if (buf_.size() >= (size_t)k) {
+          pack_row(buf_.data(), (int)buf_.size(),
+                   words + (size_t)fill * width_words);
+          lengths[fill++] = (int32_t)buf_.size();
+        }
+        buf_.clear();
+        closed_ = false;
+        continue;
+      }
+      if (eof_) break;
+      pump(max_len);  // consume input until window full / piece closed / eof
+    }
+    return fill;
+  }
+
+ private:
+  void sniff() {
+    int c;
+    while ((c = gzgetc(f_)) != -1 &&
+           (c == '\n' || c == '\r' || c == ' ' || c == '\t')) {
+    }
+    if (c == '>')
+      fmt_ = FMT_FASTA;
+    else if (c == '@')
+      fmt_ = FMT_FASTQ;
+    else {
+      fmt_ = FMT_BAD;
+      return;
+    }
+    gzungetc(c, f_);
+    at_line_start_ = true;
+  }
+
+  static void pack_row(const uint8_t* codes, int n, uint32_t* row) {
+    for (int i = 0; i < n; ++i) {
+      row[i / kBasesPerWord] |=
+          (uint32_t)codes[i] << (2 * (kBasesPerWord - 1 - (i % kBasesPerWord)));
+    }
+  }
+
+  // Close the current piece: keep it for emission iff it can yield a k-mer.
+  // `min_keep` is k for fresh pieces; window remainders are handled by the
+  // next_block loop (same >= k test).
+  void close_piece(int k) {
+    if (buf_.size() >= (size_t)k)
+      closed_ = true;
+    else
+      buf_.clear();
+  }
+
+  void skip_line() {
+    int c;
+    while ((c = gzgetc(f_)) != -1 && c != '\n') {
+    }
+    if (c == -1) eof_ = true;
+    at_line_start_ = true;
+  }
+
+  void consume(uint8_t ch, int k) {
+    uint8_t code = kLut.t[ch];
+    if (code == 255)
+      close_piece(k);
+    else
+      buf_.push_back(code);
+  }
+
+  void pump(size_t max_len) { fmt_ == FMT_FASTA ? pump_fasta(max_len)
+                                                : pump_fastq(max_len); }
+
+  void pump_fasta(size_t max_len) {
+    const int k = k_;
+    int c;
+    while (buf_.size() < max_len && !closed_) {
+      c = gzgetc(f_);
+      if (c == -1) {
+        eof_ = true;
+        close_piece(k);
+        return;
+      }
+      if (c == '\n' || c == '\r') {
+        at_line_start_ = (c == '\n');
+        continue;
+      }
+      if (at_line_start_ && c == '>') {
+        close_piece(k);
+        skip_line();
+        return;
+      }
+      at_line_start_ = false;
+      consume((uint8_t)c, k);
+    }
+  }
+
+  // FASTQ: strict 4-line records (header/seq/plus/quality).
+  void pump_fastq(size_t max_len) {
+    const int k = k_;
+    int c;
+    while (buf_.size() < max_len && !closed_) {
+      switch (fq_state_) {
+        case 0:  // header
+          skip_line();
+          if (eof_) { close_piece(k); return; }
+          fq_state_ = 1;
+          break;
+        case 1:  // sequence line
+          c = gzgetc(f_);
+          if (c == -1) { eof_ = true; close_piece(k); return; }
+          if (c == '\n') {
+            fq_state_ = 2;
+          } else if (c != '\r') {
+            consume((uint8_t)c, k);
+          }
+          break;
+        case 2:  // '+' line
+          skip_line();
+          if (eof_) { close_piece(k); return; }
+          fq_state_ = 3;
+          break;
+        case 3:  // quality line
+          skip_line();
+          fq_state_ = 0;
+          close_piece(k);
+          if (eof_) return;
+          return;  // piece boundary: let caller emit
+      }
+    }
+  }
+
+ public:
+  void set_k(int k) { k_ = k; }
+
+ private:
+  gzFile f_ = nullptr;
+  Format fmt_ = FMT_BAD;
+  std::vector<uint8_t> buf_;
+  bool closed_ = false;
+  bool eof_ = false;
+  bool at_line_start_ = true;
+  int fq_state_ = 0;
+  int k_ = 31;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* btpu_open(const char* path) {
+  Reader* r = new Reader(path);
+  if (!r->ok()) {
+    delete r;
+    return nullptr;
+  }
+  return r;
+}
+
+long btpu_next_block(void* h, int k, int block_reads, int width_words,
+                     uint32_t* words, int32_t* lengths) {
+  Reader* r = static_cast<Reader*>(h);
+  r->set_k(k);
+  return r->next_block(k, block_reads, width_words, words, lengths);
+}
+
+void btpu_close(void* h) { delete static_cast<Reader*>(h); }
+
+}  // extern "C"

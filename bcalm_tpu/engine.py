@@ -221,50 +221,34 @@ def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
 
 
 def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig) -> UnitigSet:
-    unique, counts, n_unique, stats = count_blocks(blocks, cfg)
-    histo = np.asarray(
-        count_op.abundance_histogram(counts, n_unique, histo_max=cfg.histo_max)
-    )
-    solid, solid_counts, n_solid = count_op.filter_abundance(
-        unique, counts, n_unique, cfg.abundance_min, cfg.abundance_max
-    )
-    n_solid = int(n_solid)
-    stats["distinct_kmers"] = int(n_unique)
-    stats["solid_kmers"] = n_solid
-
-    if n_solid == 0:
-        return UnitigSet(
-            k=cfg.k, seqs=[], kc=np.zeros(0, np.int64), abundances=[],
-            circular=np.zeros(0, bool), links=[], histogram=histo, stats=stats,
-        )
-
-    cap = _round_capacity(n_solid)
-    solid_c = solid[:cap]
-    counts_c = solid_counts[:cap]
-    succ, out_deg, info = compact_solid(solid_c, counts_c, n_solid, cfg.k)
-    seqs, kc, abund, circular = assemble_unitigs(solid_c, counts_c, info, cfg.k)
-    links = link_join(seqs, cfg.k)
-    stats["unitigs"] = len(seqs)
-    return UnitigSet(
-        k=cfg.k, seqs=seqs, kc=kc, abundances=abund, circular=circular,
-        links=links, histogram=histo, stats=stats,
-    )
+    solid_np, counts_np, histo, stats = count_and_filter(blocks, cfg)
+    us = compact_from_counts(solid_np, counts_np, cfg)
+    us.histogram = histo
+    us.stats.update(stats)
+    return us
 
 
 def count_and_filter(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig):
     """Counting phase -> host arrays (for storage/checkpoint + compaction).
 
     Returns (solid_np (n,L) uint32, counts_np (n,) int32, histogram, stats).
+    The distinct set is re-sliced to a small capacity before the solidity
+    filter/histogram so those ops don't run at occurrence scale.
     """
     unique, counts, n_unique, stats = count_blocks(blocks, cfg)
+    n_u = int(n_unique)
+    cap = _round_capacity(max(1, n_u))
+    unique = unique[:cap]
+    counts = counts[:cap]
     histo = np.asarray(
-        count_op.abundance_histogram(counts, n_unique, histo_max=cfg.histo_max)
+        count_op.abundance_histogram(counts, jnp.asarray(n_u),
+                                     histo_max=cfg.histo_max)
     )
     solid, solid_counts, n_solid = count_op.filter_abundance(
-        unique, counts, n_unique, cfg.abundance_min, cfg.abundance_max
+        unique, counts, jnp.asarray(n_u), cfg.abundance_min, cfg.abundance_max
     )
     n_solid = int(n_solid)
-    stats["distinct_kmers"] = int(n_unique)
+    stats["distinct_kmers"] = n_u
     stats["solid_kmers"] = n_solid
     solid_np = np.asarray(solid)[:n_solid]
     counts_np = np.asarray(solid_counts)[:n_solid]

@@ -5,7 +5,7 @@ bcalm2/bglue_algo.cpp: MPHF + concurrent union-find + per-class chain
 walking — reconstructed, SURVEY.md §4.4) and for its sequential bucket
 chain-walking.  The successor array from ops.junctions defines a
 mirror-symmetric functional graph of paths and cycles over the 2N oriented
-nodes; unitigs are recovered with O(log N) rounds of pointer doubling:
+nodes; unitigs are recovered with pointer doubling:
 
 1. build predecessor pointers,
 2. cycle detection + min-id propagation to break each cycle at its minimal
@@ -17,12 +17,12 @@ nodes; unitigs are recovered with O(log N) rounds of pointer doubling:
    the smaller oriented id (deterministic, unlike the reference —
    README.md:87 documents its orientation instability).
 
-All static shapes; the number of doubling rounds is ceil(log2(2N)).
+Doubling loops run under lax.while_loop with convergence tests, so the
+round count adapts to the LONGEST CHAIN (typically tens of k-mers), not to
+log2(N) — chains stay jittable while avoiding wasted doubling rounds.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import numpy as np
 import jax
@@ -33,6 +33,33 @@ from bcalm_tpu.ops.count import compact
 
 def _mirror(x: jnp.ndarray, N: int) -> jnp.ndarray:
     return jnp.where(x >= N, x - N, x + N)
+
+
+def _max_rounds(M: int) -> int:
+    """Doubling rounds that cover any chain/cycle length (window 2^t >= M).
+
+    The iteration CAP is load-bearing: on a cycle, jump[jump] never reaches
+    a fixpoint, so convergence alone would spin forever."""
+    return max(1, int(np.ceil(np.log2(max(M, 2)))) + 1)
+
+
+def _converge_jump(jump):
+    """jump[v] <- jump[jump[v]] until fixpoint or round cap."""
+    R = _max_rounds(jump.shape[0])
+
+    def cond(state):
+        jump, changed, t = state
+        return changed & (t < R)
+
+    def body(state):
+        jump, _, t = state
+        jump2 = jump[jump]
+        return jump2, jnp.any(jump2 != jump), t + 1
+
+    jump, _, _ = jax.lax.while_loop(
+        cond, body, (jump, jnp.asarray(True), jnp.asarray(0))
+    )
+    return jump
 
 
 @jax.jit
@@ -54,7 +81,6 @@ def chain_decompose(succ: jnp.ndarray, valid: jnp.ndarray):
     """
     M = succ.shape[0]
     N = M // 2
-    rounds = max(1, int(np.ceil(np.log2(max(M, 2)))))
     idx = jnp.arange(M, dtype=jnp.int32)
 
     succ = jnp.where(valid, succ, -1)
@@ -65,34 +91,54 @@ def chain_decompose(succ: jnp.ndarray, valid: jnp.ndarray):
         jnp.where(succ >= 0, idx, -1), mode="drop"
     )
 
-    # --- cycle detection: follow pred to a start; nodes that never reach one
-    jump = jnp.where(pred >= 0, pred, idx)
-    for _ in range(rounds):
-        jump = jump[jump]
+    # --- cycle detection: follow pred to a start; cycles never reach one
+    jump0 = jnp.where(pred >= 0, pred, idx)
+    jump = _converge_jump(jump0)
     in_cycle = valid & (pred[jump] >= 0)
 
-    # --- break each cycle at its minimal oriented node; also propagate the
-    # min of the MIRROR cycle (the mirror chain's future start) for dedupe
-    mn = jnp.where(in_cycle, idx, jnp.int32(M))
-    mmn = jnp.where(in_cycle, _mirror(idx, N), jnp.int32(M))
-    ptr = jnp.where(pred >= 0, pred, idx)
-    for _ in range(rounds):
-        mn = jnp.minimum(mn, mn[ptr])
-        mmn = jnp.minimum(mmn, mmn[ptr])
-        ptr = ptr[ptr]
+    # --- break each cycle at its minimal oriented node; propagate the
+    # mirror cycle's min as well (the mirror chain's future start)
+    R = _max_rounds(M)
+
+    def min_cond(state):
+        mn, mmn, ptr, changed, t = state
+        return changed & (t < R)
+
+    def min_body(state):
+        mn, mmn, ptr, _, t = state
+        mn2 = jnp.minimum(mn, mn[ptr])
+        mmn2 = jnp.minimum(mmn, mmn[ptr])
+        ptr2 = ptr[ptr]
+        changed = jnp.any(mn2 != mn) | jnp.any(mmn2 != mmn)
+        return mn2, mmn2, ptr2, changed, t + 1
+
+    mn0 = jnp.where(in_cycle, idx, jnp.int32(M))
+    mmn0 = jnp.where(in_cycle, _mirror(idx, N), jnp.int32(M))
+    ptr0 = jnp.where(pred >= 0, pred, idx)
+    mn, mmn, _, _, _ = jax.lax.while_loop(
+        min_cond, min_body, (mn0, mmn0, ptr0, jnp.asarray(True), jnp.asarray(0))
+    )
     break_node = in_cycle & (mn == idx)  # chain start of its cycle
-    # cut the incoming edge of each break node
     cut_from = jnp.where(break_node, pred, -1)
     succ2 = succ.at[jnp.where(break_node, cut_from, M)].set(-1, mode="drop")
     pred2 = jnp.where(break_node, -1, pred)
 
     # --- start/rank doubling on the acyclic pred graph
-    jump = jnp.where(pred2 >= 0, pred2, idx)
-    rank = jnp.where(pred2 >= 0, 1, 0).astype(jnp.int32)
-    for _ in range(rounds):
-        rank = rank + rank[jump]
-        jump = jump[jump]
-    start = jump  # == self for start nodes
+    def rank_cond(state):
+        jump, rank, changed, t = state
+        return changed & (t < R)
+
+    def rank_body(state):
+        jump, rank, _, t = state
+        rank2 = rank + rank[jump]
+        jump2 = jump[jump]
+        return jump2, rank2, jnp.any(jump2 != jump), t + 1
+
+    jump0 = jnp.where(pred2 >= 0, pred2, idx)
+    rank0 = jnp.where(pred2 >= 0, 1, 0).astype(jnp.int32)
+    start, rank, _, _ = jax.lax.while_loop(
+        rank_cond, rank_body, (jump0, rank0, jnp.asarray(True), jnp.asarray(0))
+    )
 
     is_start = valid & (pred2 == -1)
 

@@ -9,6 +9,16 @@ All shapes are static: "number of unique k-mers" is carried as a scalar
 alongside fixed-capacity arrays, the standard XLA idiom for data-dependent
 sizes.
 
+Performance notes (measured on v5e):
+- validity is FOLDED into the key: invalid slots become the all-ones
+  sentinel, which is never a canonical k-mer (rc(G^k) = C^k < G^k), so the
+  sort carries exactly L key operands and nothing else,
+- group ids double as compaction destinations (segment_sum output is
+  already compacted), so counting costs one sort + one cumsum + one
+  segment-sum + one scatter,
+- callers should re-slice capacity to the (much smaller) distinct count
+  before running the solidity filter (engine.count_and_filter does).
+
 Solidity filtering (-abundance-min / -abundance-max, README.md:23-25 and
 hidden options at /root/reference/src/bcalm_1.cpp:34-37) and the abundance
 histogram (gatb CountProcessorHistogram) are applied on-device.
@@ -23,29 +33,25 @@ import jax
 import jax.numpy as jnp
 
 _U32 = jnp.uint32
+SENTINEL = np.uint32(0xFFFFFFFF)
 
 
-def sort_by_lanes(lanes: jnp.ndarray, valid: jnp.ndarray, payloads=()):
-    """Sort (N, L) k-mers lexicographically, invalid entries last.
-
-    Returns (sorted_lanes, sorted_valid, sorted_payloads).
-    """
-    N, L = lanes.shape
-    invalid_key = jnp.where(valid, np.uint32(0), np.uint32(1))
-    operands = [invalid_key] + [lanes[:, j] for j in range(L)] + [
-        valid.astype(jnp.int32)
-    ] + list(payloads)
-    out = jax.lax.sort(operands, num_keys=L + 1)
-    sorted_lanes = jnp.stack(out[1 : L + 1], axis=-1)
-    sorted_valid = out[L + 1].astype(bool)
-    return sorted_lanes, sorted_valid, tuple(out[L + 2 :])
+def fold_sentinel(lanes: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Set invalid rows to the all-ones sentinel (sorts after every
+    canonical k-mer; all-ones = G^k whose canonical form is C^k)."""
+    return jnp.where(valid[..., None], lanes, SENTINEL)
 
 
-def run_starts(sorted_lanes: jnp.ndarray, sorted_valid: jnp.ndarray) -> jnp.ndarray:
-    """Boolean mask of first-occurrence positions among valid sorted entries."""
-    diff = jnp.any(sorted_lanes != jnp.roll(sorted_lanes, 1, axis=0), axis=-1)
-    diff = diff.at[0].set(True)
-    return sorted_valid & diff
+def row_starts(sorted_lanes: jnp.ndarray, sorted_valid: jnp.ndarray) -> jnp.ndarray:
+    """First-occurrence mask among valid sorted rows."""
+    diff = jnp.any(sorted_lanes[1:] != sorted_lanes[:-1], axis=-1)
+    first = jnp.concatenate([jnp.ones((1,), bool), diff])
+    return sorted_valid & first
+
+
+# backwards-compatible aliases used elsewhere
+def run_starts(sorted_lanes, sorted_valid):
+    return row_starts(sorted_lanes, sorted_valid)
 
 
 def compact(mask: jnp.ndarray, arrays, fill=0):
@@ -64,7 +70,8 @@ def compact(mask: jnp.ndarray, arrays, fill=0):
 
 
 @partial(jax.jit, static_argnames=("weighted",))
-def count_canonical(lanes: jnp.ndarray, valid: jnp.ndarray, weights=None, weighted=False):
+def count_canonical(lanes: jnp.ndarray, valid: jnp.ndarray, weights=None,
+                    weighted=False):
     """Count occurrences of canonical k-mers.
 
     Args:
@@ -78,21 +85,27 @@ def count_canonical(lanes: jnp.ndarray, valid: jnp.ndarray, weights=None, weight
       counts: (N,) int32 occurrence counts aligned with `unique`
       n_unique: () int32
     """
+    N, L = lanes.shape
+    folded = fold_sentinel(lanes, valid)
+    ops = [folded[:, j] for j in range(L)]
     if weighted:
-        payloads = (weights.astype(jnp.int32),)
-    else:
-        payloads = ()
-    s_lanes, s_valid, s_pay = sort_by_lanes(lanes, valid, payloads)
-    starts = run_starts(s_lanes, s_valid)
-    group = jnp.cumsum(starts.astype(jnp.int32)) - 1
-    group = jnp.where(s_valid, group, lanes.shape[0] - 1)
-    w = s_pay[0] if weighted else s_valid.astype(jnp.int32)
+        ops.append(weights.astype(jnp.int32))
+    out = jax.lax.sort(ops, num_keys=L)
+    s_lanes = jnp.stack(out[:L], axis=-1)
+    s_valid = ~jnp.all(s_lanes == SENTINEL, axis=-1)
+    starts = row_starts(s_lanes, s_valid)
+    gid = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    gid = jnp.where(s_valid, gid, N - 1)
+    w = out[L] if weighted else s_valid.astype(jnp.int32)
     w = jnp.where(s_valid, w, 0)
-    sums = jax.ops.segment_sum(
-        w, group, num_segments=lanes.shape[0], indices_are_sorted=True
-    )
-    (unique,), n_unique = compact(starts, (s_lanes,))
-    counts = sums.astype(jnp.int32)
+    counts = jax.ops.segment_sum(
+        w, gid, num_segments=N, indices_are_sorted=True
+    ).astype(jnp.int32)
+    # group id == compaction destination: one scatter compacts the keys
+    dest = jnp.where(starts, gid, N)
+    unique = jnp.zeros_like(s_lanes)
+    unique = unique.at[dest].set(s_lanes, mode="drop")
+    n_unique = jnp.sum(starts.astype(jnp.int32))
     return unique, counts, n_unique
 
 
@@ -128,3 +141,15 @@ def abundance_histogram(counts, n_unique, histo_max: int = 10000):
         weights=valid.astype(jnp.int32),
         length=histo_max + 1,
     ).astype(jnp.int32)
+
+
+def sort_by_lanes(lanes: jnp.ndarray, valid: jnp.ndarray, payloads=()):
+    """Sort (N, L) k-mers lexicographically, invalid entries last (sentinel
+    folding).  Returns (sorted_lanes, sorted_valid, sorted_payloads)."""
+    N, L = lanes.shape
+    folded = fold_sentinel(lanes, valid)
+    operands = [folded[:, j] for j in range(L)] + list(payloads)
+    out = jax.lax.sort(operands, num_keys=L)
+    sorted_lanes = jnp.stack(out[:L], axis=-1)
+    sorted_valid = ~jnp.all(sorted_lanes == SENTINEL, axis=-1)
+    return sorted_lanes, sorted_valid, tuple(out[L:])

@@ -44,6 +44,11 @@ class EngineConfig:
     block_reads: int = 4096
     max_len: int = 512
     histo_max: int = 10000
+    # counting chunk size in k-mer slots: bounds device memory (the analog
+    # of the reference's -max-memory driven pass/partition sizing,
+    # gatb ConfigurationAlgorithm).  ~16M slots * (L+1) u32 stays well
+    # under one v5e chip's HBM including sort workspace.
+    chunk_kmers: int = 16 * 1024 * 1024
 
 
 @dataclass
@@ -73,36 +78,105 @@ def _round_capacity(n: int) -> int:
 
 
 def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
-    """Extract + count canonical k-mers over all blocks.
+    """Extract + count canonical k-mers over all blocks, chunked.
 
-    Returns (unique, counts, n_unique) device arrays (sorted, compacted).
+    Memory-bounded streaming (the TPU analog of DSK's (pass x partition)
+    disk staging): extraction output accumulates into fixed-size chunks of
+    cfg.chunk_kmers occurrence slots; each full chunk is counted/deduped
+    on-device (one compiled shape, reused); the per-chunk distinct runs
+    are then merged with one weighted count.
+
+    Returns (unique, counts, n_unique, stats) — device arrays sorted and
+    compacted to the front.
     """
-    all_lanes = []
-    all_valid = []
+    L = ln.num_lanes(cfg.k)
+    chunk: List[jnp.ndarray] = []     # folded (sentinel-carrying) lane arrays
+    chunk_fill = 0
+    partials = []                     # (unique, counts, n) per flushed chunk
     n_reads = 0
     n_bases = 0
+    n_occ = 0
+
+    def flush():
+        nonlocal chunk, chunk_fill
+        if not chunk:
+            return
+        lanes = jnp.concatenate(chunk) if len(chunk) > 1 else chunk[0]
+        pad = cfg.chunk_kmers - lanes.shape[0]
+        if pad > 0:
+            lanes = jnp.concatenate(
+                [lanes, jnp.full((pad, L), count_op.SENTINEL, jnp.uint32)]
+            )
+        valid = ~jnp.all(lanes == count_op.SENTINEL, axis=-1)
+        unique, counts, n_unique = count_op.count_canonical(lanes, valid)
+        n_u = int(n_unique)
+        partials.append((unique[:n_u], counts[:n_u], n_u))
+        chunk = []
+        chunk_fill = 0
+
     for block in blocks:
         canon, valid = extract_op.extract_canonical(
             jnp.asarray(block.words), jnp.asarray(block.lengths), cfg.k
         )
-        L = canon.shape[-1]
-        all_lanes.append(canon.reshape(-1, L))
-        all_valid.append(valid.reshape(-1))
+        folded = count_op.fold_sentinel(
+            canon.reshape(-1, L), valid.reshape(-1)
+        )
         n_reads += int((block.lengths > 0).sum())
         n_bases += int(block.lengths.sum())
-    if not all_lanes:
-        L = ln.num_lanes(cfg.k)
+        n_occ += int(valid.sum())
+        pos = 0
+        flat = folded.shape[0]
+        while pos < flat:
+            take = min(flat - pos, cfg.chunk_kmers - chunk_fill)
+            chunk.append(folded[pos : pos + take])
+            chunk_fill += take
+            pos += take
+            if chunk_fill >= cfg.chunk_kmers:
+                flush()
+    flush()
+
+    stats = {"reads": n_reads, "bases": n_bases, "kmer_occurrences": n_occ}
+    if not partials:
         empty = jnp.zeros((16, L), dtype=jnp.uint32)
-        return empty, jnp.zeros((16,), jnp.int32), jnp.asarray(0, jnp.int32), {}
-    lanes = jnp.concatenate(all_lanes)
-    valid = jnp.concatenate(all_valid)
-    unique, counts, n_unique = count_op.count_canonical(lanes, valid)
-    stats = {
-        "reads": n_reads,
-        "bases": n_bases,
-        "kmer_occurrences": int(valid.sum()),
-    }
-    return unique, counts, n_unique, stats
+        return empty, jnp.zeros((16,), jnp.int32), jnp.asarray(0, jnp.int32), stats
+    if len(partials) == 1:
+        unique, counts, n_u = partials[0]
+        return unique, counts, jnp.asarray(n_u, jnp.int32), stats
+
+    # merge the distinct runs with one weighted count (hierarchically if
+    # the concatenation would exceed the chunk budget)
+    while len(partials) > 1:
+        group = []
+        acc = 0
+        rest = []
+        for p in partials:
+            # always take at least two (guarantees progress), then respect
+            # the chunk budget
+            if len(group) >= 2 and acc + p[2] > cfg.chunk_kmers:
+                rest.append(p)
+            else:
+                group.append(p)
+                acc += p[2]
+        lanes = jnp.concatenate([p[0] for p in group])
+        weights = jnp.concatenate([p[1] for p in group])
+        cap = _round_capacity(lanes.shape[0])
+        pad = cap - lanes.shape[0]
+        if pad:
+            lanes = jnp.concatenate(
+                [lanes, jnp.full((pad, L), count_op.SENTINEL, jnp.uint32)]
+            )
+            weights = jnp.concatenate([weights, jnp.zeros((pad,), jnp.int32)])
+        valid = ~jnp.all(lanes == count_op.SENTINEL, axis=-1)
+        unique, counts, n_unique = count_op.count_canonical(
+            lanes, valid, weights=weights, weighted=True
+        )
+        n_u = int(n_unique)
+        merged = (unique[:n_u], counts[:n_u], n_u)
+        partials = rest + [merged] if rest else [merged]
+        if not rest:
+            break
+    unique, counts, n_u = partials[0]
+    return unique, counts, jnp.asarray(n_u, jnp.int32), stats
 
 
 def compact_solid(solid: jnp.ndarray, counts: jnp.ndarray, n_solid: int, k: int):

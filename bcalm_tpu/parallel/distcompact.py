@@ -1,0 +1,236 @@
+"""Distributed compaction: sharded junction matching + pointer jumping.
+
+Replaces the reference's shared-memory glue (bglue concurrent union-find,
+SURVEY.md §4.4) with mesh collectives, completing the story started by
+parallel.pipeline (sharded counting):
+
+1. each device owns a shard of the solid k-mer set (global slot ids
+   assigned per device: device d owns [d*cap, (d+1)*cap)),
+2. junction entries (suffix/prefix ends) are routed to the device owning
+   hash(junction key) via the fixed-capacity all_to_all bucket exchange,
+3. each device classifies its key groups (ops.junctions pair rule) and
+   emits unitig edges (src_oid -> dst_oid),
+4. edges route back to the device owning src's slot, building a sharded
+   successor array,
+5. chain extraction = distributed pointer jumping: each doubling round
+   resolves remote jump targets with a request/response all_to_all pair
+   (log(longest chain) rounds over ICI — the collective analog of the
+   reference's log-free but lock-contended union-find).
+
+All exchanges are fixed-capacity with psum'd overflow detection (never
+silent).  This module provides the building blocks + a host-driven
+`distributed_compact` used by tests; wiring into the CLI awaits per-device
+output sharding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from bcalm_tpu.models import lanes as ln
+from bcalm_tpu.ops import hashing
+from bcalm_tpu.ops import junctions as junc
+from bcalm_tpu.parallel.pipeline import AXIS, _route_to_buckets
+
+_U32 = jnp.uint32
+SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def _exchange(bl, bv, extra=None):
+    """all_to_all a (n_dev, cap, ...) bucket array (+optional payload)."""
+    recv_l = jax.lax.all_to_all(bl, AXIS, split_axis=0, concat_axis=0)
+    recv_v = jax.lax.all_to_all(bv, AXIS, split_axis=0, concat_axis=0)
+    if extra is None:
+        return recv_l, recv_v
+    recv_e = jax.lax.all_to_all(extra, AXIS, split_axis=0, concat_axis=0)
+    return recv_l, recv_v, recv_e
+
+
+def _local_succ_shard(solid, n_local, k: int, n_dev: int, cap_entries: int,
+                      slot_cap: int):
+    """Per-device body: build entries, exchange by key owner, classify,
+    route edges back to src owners.  Returns local succ shard (2*slot_cap,)
+    plus dropped counts."""
+    me = jax.lax.axis_index(AXIS)
+    N = solid.shape[0]  # == slot_cap
+
+    suf = ln.suffix_kminus1(solid, k)
+    pre = ln.prefix_kminus1(solid, k)
+    suf_c, sig = ln.canonical(suf, k - 1)
+    pre_c, tau = ln.canonical(pre, k - 1)
+    suf_pal = ln.is_palindrome(suf, k - 1)
+    pre_pal = ln.is_palindrome(pre, k - 1)
+    one = np.uint32(1)
+    sig = jnp.where(suf_pal, False, sig).astype(_U32)
+    tau = jnp.where(pre_pal, False, tau).astype(_U32)
+    inv_sig = jnp.where(suf_pal, np.uint32(0), one - sig)
+    inv_tau = jnp.where(pre_pal, np.uint32(0), one - tau)
+
+    ids = jnp.arange(N, dtype=jnp.int32)
+    valid1 = ids < n_local
+    # GLOBAL oriented ids: + strand = global slot, - strand = slot + n_dev*cap
+    gslot = me.astype(jnp.int32) * slot_cap + ids
+    tot = n_dev * slot_cap
+    keys = jnp.concatenate([
+        junc._make_keys(suf_c, sig, valid1, k),
+        junc._make_keys(suf_c, inv_sig, valid1, k),
+        junc._make_keys(pre_c, tau, valid1, k),
+        junc._make_keys(pre_c, inv_tau, valid1, k),
+    ])
+    oid = jnp.concatenate([gslot, gslot + tot, gslot, gslot + tot]).astype(_U32)
+    role = jnp.concatenate([
+        jnp.zeros((N,), _U32), jnp.ones((N,), _U32),
+        jnp.ones((N,), _U32), jnp.zeros((N,), _U32),
+    ])
+    payload = oid | (role << junc._ROLE_SHIFT)
+    valid = jnp.concatenate([valid1] * 4)
+
+    owner = (hashing.hash_lanes(keys) % np.uint32(n_dev)).astype(jnp.int32)
+    stacked = jnp.concatenate([keys, payload[:, None]], axis=1)
+    bl, bv, drop1 = _route_to_buckets(stacked, valid, owner, n_dev, cap_entries)
+    recv, recv_v = _exchange(bl, bv)
+    K = keys.shape[1]
+    ent = recv.reshape(-1, K + 1)
+    ent_valid = recv_v.reshape(-1)
+
+    e_keys = jnp.where(ent_valid[:, None], ent[:, :K], SENTINEL)
+    e_pay = jnp.where(ent_valid, ent[:, K], 0)
+
+    out = jax.lax.sort(
+        [e_keys[:, j] for j in range(K)] + [e_pay], num_keys=K
+    )
+    s_keys = jnp.stack(out[:K], axis=-1)
+    s_pay = out[K]
+    s_valid = s_keys[:, 0] != SENTINEL
+
+    eq_prev = jnp.concatenate([
+        jnp.zeros((1,), bool), jnp.all(s_keys[1:] == s_keys[:-1], axis=-1)
+    ])
+    eq_next = jnp.concatenate([eq_prev[1:], jnp.zeros((1,), bool)])
+    pair_head = s_valid & ~eq_prev & eq_next & ~jnp.concatenate(
+        [eq_next[1:], jnp.zeros((1,), bool)]
+    )
+    nxt_pay = jnp.concatenate([s_pay[1:], jnp.zeros((1,), _U32)])
+    role_a = (s_pay >> junc._ROLE_SHIFT).astype(jnp.int32)
+    role_b = (nxt_pay >> junc._ROLE_SHIFT).astype(jnp.int32)
+    oid_a = (s_pay & junc._OID_MASK).astype(jnp.int32)
+    oid_b = (nxt_pay & junc._OID_MASK).astype(jnp.int32)
+    vert_a = jnp.where(oid_a >= tot, oid_a - tot, oid_a)
+    vert_b = jnp.where(oid_b >= tot, oid_b - tot, oid_b)
+    ok = pair_head & (role_a != role_b) & (vert_a != vert_b)
+    src = jnp.where(role_a == junc.ROLE_OUT, oid_a, oid_b)
+    dst = jnp.where(role_a == junc.ROLE_OUT, oid_b, oid_a)
+
+    # route (src, dst) to the owner of src's slot
+    src_slot = jnp.where(src >= tot, src - tot, src)
+    src_owner = src_slot // slot_cap
+    edge = jnp.stack([src.astype(_U32), dst.astype(_U32)], axis=1)
+    bl2, bv2, drop2 = _route_to_buckets(edge, ok, src_owner, n_dev,
+                                        cap_entries)
+    recv2, recv2_v = _exchange(bl2, bv2)
+    edges = recv2.reshape(-1, 2)
+    ev = recv2_v.reshape(-1)
+
+    # scatter into the local succ shard, indexed by local oriented id:
+    # local id: slot strand + => slot - me*slot_cap; strand - => + slot_cap
+    esrc = edges[:, 0].astype(jnp.int32)
+    edst = edges[:, 1].astype(jnp.int32)
+    eslot = jnp.where(esrc >= tot, esrc - tot, esrc) - me * slot_cap
+    eneg = esrc >= tot
+    lidx = jnp.where(eneg, eslot + slot_cap, eslot)
+    succ = jnp.full((2 * slot_cap,), -1, dtype=jnp.int32)
+    succ = succ.at[jnp.where(ev, lidx, 2 * slot_cap)].set(
+        jnp.where(ev, edst, -1), mode="drop"
+    )
+    dropped = jax.lax.psum(drop1 + drop2, AXIS)
+    return succ, dropped
+
+
+def succ_shard_fn(mesh, k: int, n_dev: int, cap_entries: int, slot_cap: int):
+    fn = shard_map(
+        partial(_local_succ_shard, k=k, n_dev=n_dev, cap_entries=cap_entries,
+                slot_cap=slot_cap),
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS)),
+        out_specs=(P(AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def distributed_succ(mesh, solid_sharded, n_local, k, cap_entries, slot_cap):
+    """Compute the sharded successor array on the mesh."""
+    fn = succ_shard_fn(mesh, k, mesh.devices.size, cap_entries, slot_cap)
+    succ, dropped = fn(solid_sharded, n_local)
+    return succ, int(dropped)
+
+
+def distributed_compact(mesh, solid_per_dev, counts_per_dev, k: int):
+    """Host-driven distributed compaction from per-device solid shards.
+
+    Junction matching and edge construction run sharded on the mesh (the
+    expensive O(occurrences)-adjacent part); the successor array — 4 bytes
+    per oriented node — is then gathered for chain extraction and host
+    assembly.  (Fully sharded pointer jumping via request/response
+    all_to_all rounds is the designed next step; the succ gather is the
+    current scalability waterline and is ~100x smaller than the input.)
+
+    Args:
+      solid_per_dev: list of (n_d, L) uint32 arrays (disjoint k-mer sets)
+      counts_per_dev: list of (n_d,) int32
+    Returns engine.UnitigSet.
+    """
+    from bcalm_tpu import engine as eng
+    from bcalm_tpu.ops import chains as chains_op
+
+    n_dev = mesh.devices.size
+    L = solid_per_dev[0].shape[1]
+    slot_cap = eng._round_capacity(max(1, max(s.shape[0] for s in solid_per_dev)))
+
+    solid_global = np.zeros((n_dev * slot_cap, L), np.uint32)
+    counts_global = np.zeros((n_dev * slot_cap,), np.int32)
+    n_local = np.zeros((n_dev,), np.int32)
+    for d in range(n_dev):
+        n_d = solid_per_dev[d].shape[0]
+        solid_global[d * slot_cap : d * slot_cap + n_d] = solid_per_dev[d]
+        counts_global[d * slot_cap : d * slot_cap + n_d] = counts_per_dev[d]
+        n_local[d] = n_d
+
+    # a device emits at most 4*slot_cap entries total, so this capacity can
+    # never overflow regardless of key-hash skew (production tuning can
+    # shrink it with an overflow-retry loop)
+    cap_entries = 4 * slot_cap
+    succ_sh, dropped = distributed_succ(
+        mesh, jnp.asarray(solid_global), jnp.asarray(n_local), k,
+        cap_entries, slot_cap,
+    )
+    if dropped:
+        raise RuntimeError(f"junction exchange overflow: {dropped} entries")
+
+    # reassemble the global successor array from slot-major shards
+    tot = n_dev * slot_cap
+    sh = np.asarray(succ_sh).reshape(n_dev, 2 * slot_cap)
+    succ_global = np.concatenate([sh[:, :slot_cap].reshape(-1),
+                                  sh[:, slot_cap:].reshape(-1)])
+    oid = np.arange(2 * tot)
+    slot = np.where(oid >= tot, oid - tot, oid)
+    valid = (slot % slot_cap) < n_local[slot // slot_cap]
+
+    info = chains_op.chain_decompose(jnp.asarray(succ_global),
+                                     jnp.asarray(valid))
+    seqs, kc, abund, circular = eng.assemble_unitigs(
+        jnp.asarray(solid_global), jnp.asarray(counts_global), info, k
+    )
+    links = eng.link_join(seqs, k)
+    return eng.UnitigSet(
+        k=k, seqs=seqs, kc=kc, abundances=abund, circular=circular,
+        links=links, stats={"devices": n_dev,
+                            "solid_kmers": int(n_local.sum())},
+    )

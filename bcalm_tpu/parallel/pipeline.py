@@ -135,13 +135,9 @@ def distributed_count(mesh, words, lengths, k, cap_per_dest):
     )
 
 
-def gather_solid(result: DistributedCountResult, abundance_min: int,
-                 abundance_max: int):
-    """Host-side: gather per-device solid sets into one global sorted array.
-
-    K-mer spaces are disjoint across devices; the global solid set is the
-    concatenation, re-sorted for the downstream junction stage.
-    """
+def solid_per_device(result: DistributedCountResult, abundance_min: int,
+                     abundance_max: int):
+    """Host-side: per-device solid (kmer, count) shards after solidity."""
     n_dev = result.n_unique.shape[0]
     uniq = np.asarray(result.unique)
     cnts = np.asarray(result.counts)
@@ -154,6 +150,18 @@ def gather_solid(result: DistributedCountResult, abundance_min: int,
         keep = (c >= abundance_min) & (c <= abundance_max)
         parts_k.append(u[keep])
         parts_c.append(c[keep])
+    return parts_k, parts_c
+
+
+def gather_solid(result: DistributedCountResult, abundance_min: int,
+                 abundance_max: int):
+    """Host-side: gather per-device solid sets into one global sorted array.
+
+    K-mer spaces are disjoint across devices; the global solid set is the
+    concatenation, re-sorted for the downstream junction stage.
+    """
+    parts_k, parts_c = solid_per_device(result, abundance_min, abundance_max)
+    uniq = np.asarray(result.unique)
     solid = np.concatenate(parts_k) if parts_k else np.zeros((0, uniq.shape[1]), np.uint32)
     counts = np.concatenate(parts_c) if parts_c else np.zeros((0,), np.int32)
     # global sort (lexicographic over lanes, most-significant first)
@@ -203,27 +211,16 @@ def distributed_build(seqs, cfg, mesh: Mesh):
             f"bucket overflow: {res.dropped} k-mers dropped; "
             f"raise cap_per_dest (got {cap})"
         )
-    solid_np, counts_np, = gather_solid(res, cfg.abundance_min, cfg.abundance_max)
-    n_solid = solid_np.shape[0]
+    per_s, per_c = solid_per_device(res, cfg.abundance_min, cfg.abundance_max)
+    n_solid = int(sum(s.shape[0] for s in per_s))
     if n_solid == 0:
         return eng.UnitigSet(
             k=cfg.k, seqs=[], kc=np.zeros(0, np.int64), abundances=[],
             circular=np.zeros(0, bool), links=[],
             stats={"solid_kmers": 0},
         )
-    capn = eng._round_capacity(n_solid)
-    solid = jnp.asarray(
-        np.concatenate([solid_np,
-                        np.zeros((capn - n_solid, solid_np.shape[1]), np.uint32)])
-    )
-    counts = jnp.asarray(
-        np.concatenate([counts_np, np.zeros((capn - n_solid,), np.int32)])
-    )
-    succ, out_deg, info = eng.compact_solid(solid, counts, n_solid, cfg.k)
-    seqs_out, kc, abund, circular = eng.assemble_unitigs(solid, counts, info, cfg.k)
-    links = eng.link_join(seqs_out, cfg.k)
-    return eng.UnitigSet(
-        k=cfg.k, seqs=seqs_out, kc=kc, abundances=abund, circular=circular,
-        links=links, stats={"solid_kmers": n_solid, "unitigs": len(seqs_out),
-                            "devices": n_dev},
-    )
+    from bcalm_tpu.parallel import distcompact
+
+    us = distcompact.distributed_compact(mesh, per_s, per_c, cfg.k)
+    us.stats["unitigs"] = len(us.seqs)
+    return us

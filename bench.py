@@ -14,6 +14,7 @@ reports "hours for a human genome" on one desktop, consistent with
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -51,13 +52,20 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: TPU compiles here are remote and slow
+    # (minutes per new shape); cache makes repeat benches instant
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/btpu_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from bcalm_tpu import engine
     from bcalm_tpu.ops import chains as chains_op
     from bcalm_tpu.ops import count as count_op
     from bcalm_tpu.ops import extract as extract_op
     from bcalm_tpu.ops import junctions as junctions_op
-
-    import os
 
     k = int(os.environ.get("BENCH_K", 31))
     genome_len = int(os.environ.get("BENCH_GENOME", 1_000_000))
@@ -76,13 +84,19 @@ def main():
     words_d = jnp.asarray(words)
     lengths_d = jnp.asarray(lengths)
 
+    # stage jits kept separate: the remote TPU compiler struggles with one
+    # big fused module, and the production engine path is staged anyway
     @jax.jit
-    def count_step(w, ln_):
+    def extract_step(w, ln_):
         canon, valid = extract_op.extract_canonical(w, ln_, k)
         L = canon.shape[-1]
-        unique, counts, n_unique = count_op.count_canonical(
+        return count_op.fold_sentinel(
             canon.reshape(-1, L), valid.reshape(-1)
-        )
+        ), valid.reshape(-1)
+
+    def count_step(w, ln_):
+        folded, valid = extract_step(w, ln_)
+        unique, counts, n_unique = count_op.count_canonical(folded, valid)
         solid, scounts, n_solid = count_op.filter_abundance(
             unique, counts, n_unique, 2, 2**31 - 1
         )

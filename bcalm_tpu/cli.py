@@ -112,22 +112,36 @@ def redo_links(unitigs_path: str, k: int, verbose: int) -> None:
         print(f"re-linked {len(seqs)} unitigs -> {unitigs_path}")
 
 
-def _input_blocks(bank, cfg, verbose: int):
-    """Packed-block stream: native C++ parser when available, else python."""
-    from bcalm_tpu.io import native as native_mod
+def _input_blocks(bank, cfg, verbose: int, nb_cores: int = 0):
+    """Packed-block stream: native C++ parser when available (with host
+    prefetch overlapping device compute), else python."""
+    from bcalm_tpu.io import bank_binary, native as native_mod
     from bcalm_tpu.io import packing
+    from bcalm_tpu.utils import dispatcher
+
+    binary = [p for p in bank.paths if bank_binary.is_binary_bank(p)]
+    if binary and len(binary) == len(bank.paths):
+        for p in bank.paths:
+            yield from bank_binary.read_bank(p)
+        return
 
     if native_mod.available():
         if verbose > 1:
             print("using native ingest (libbcalmio)")
-        for path in bank.paths:
-            yield from native_mod.iter_blocks_native(
-                path, cfg.k, block_reads=cfg.block_reads, max_len=cfg.max_len
-            )
+        workers = nb_cores if nb_cores > 0 else min(4, max(1, len(bank.paths)))
+        yield from dispatcher.parallel_files(
+            bank.paths,
+            lambda p: native_mod.iter_blocks_native(
+                p, cfg.k, block_reads=cfg.block_reads, max_len=cfg.max_len
+            ),
+            n_workers=workers,
+        )
     else:
-        yield from packing.iter_blocks(
-            bank.sequences(), cfg.k, block_reads=cfg.block_reads,
-            max_len=cfg.max_len,
+        yield from dispatcher.prefetch(
+            packing.iter_blocks(
+                bank.sequences(), cfg.k, block_reads=cfg.block_reads,
+                max_len=cfg.max_len,
+            )
         )
 
 
@@ -171,6 +185,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         abundance_max=props.get_int("-abundance-max"),
         histo_max=props.get_int("-histo-max"),
     )
+    engine.configure_chunk(cfg, props.get_int("-max-memory"))
     store = Store(prefix)
 
     solid = counts = histo = None
@@ -194,7 +209,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 1
         bank = bank_mod.Bank.open(in_path)
         with ti.timer("count"):
-            blocks = _input_blocks(bank, cfg, verbose)
+            blocks = _input_blocks(bank, cfg, verbose,
+                                   nb_cores=props.get_int("-nb-cores"))
             solid, counts, histo, stats = engine.count_and_filter(blocks, cfg)
         with ti.timer("store"):
             store.write_counts(solid, counts, k, histogram=histo,

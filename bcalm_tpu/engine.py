@@ -69,6 +69,22 @@ class UnitigSet:
         return self.kc / np.maximum(1, np.array([len(a) for a in self.abundances]))
 
 
+def configure_chunk(cfg: EngineConfig, max_memory_mb: int) -> int:
+    """Derive the counting chunk size from a device-memory budget — the
+    analog of gatb ConfigurationAlgorithm turning -max-memory/-max-disk
+    into pass/partition counts (SURVEY.md §3.2).
+
+    Budget model: a chunk slot costs L u32 for the key plus ~4x workspace
+    (sort double-buffering, group ids, segment sums, scatter output).
+    """
+    if max_memory_mb and max_memory_mb > 0:
+        L = ln.num_lanes(cfg.k)
+        bytes_per_slot = 4 * L * 4  # lanes * workspace factor * sizeof(u32)
+        slots = (max_memory_mb * 1_000_000) // bytes_per_slot
+        cfg.chunk_kmers = int(max(1 << 20, min(slots, 1 << 27)))
+    return cfg.chunk_kmers
+
+
 def _round_capacity(n: int) -> int:
     """Round up to the next power of two (>= 16) to bound compiled shapes."""
     c = 16

@@ -220,8 +220,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if solid_out:
         from bcalm_tpu.models import lanes as ln
         with open(solid_out, "w") as f:
-            for i in range(solid.shape[0]):
-                f.write(f"{ln.int_to_string(ln.lanes_to_int(solid[i]), k)}\t"
+            for i in range(solid.shape[1]):
+                f.write(f"{ln.int_to_string(ln.lanes_to_int(solid[:, i]), k)}\t"
                         f"{int(counts[i])}\n")
 
     with ti.timer("compact"):

@@ -117,16 +117,17 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         nonlocal chunk, chunk_fill
         if not chunk:
             return
-        lanes = jnp.concatenate(chunk) if len(chunk) > 1 else chunk[0]
-        pad = cfg.chunk_kmers - lanes.shape[0]
+        lanes = jnp.concatenate(chunk, axis=1) if len(chunk) > 1 else chunk[0]
+        pad = cfg.chunk_kmers - lanes.shape[1]
         if pad > 0:
             lanes = jnp.concatenate(
-                [lanes, jnp.full((pad, L), count_op.SENTINEL, jnp.uint32)]
+                [lanes, jnp.full((L, pad), count_op.SENTINEL, jnp.uint32)],
+                axis=1,
             )
-        valid = ~jnp.all(lanes == count_op.SENTINEL, axis=-1)
+        valid = ~jnp.all(lanes == count_op.SENTINEL, axis=0)
         unique, counts, n_unique = count_op.count_canonical(lanes, valid)
         n_u = int(n_unique)
-        partials.append((unique[:n_u], counts[:n_u], n_u))
+        partials.append((unique[:, :n_u], counts[:n_u], n_u))
         chunk = []
         chunk_fill = 0
 
@@ -135,16 +136,16 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
             jnp.asarray(block.words), jnp.asarray(block.lengths), cfg.k
         )
         folded = count_op.fold_sentinel(
-            canon.reshape(-1, L), valid.reshape(-1)
+            canon.reshape(L, -1), valid.reshape(-1)
         )
         n_reads += int((block.lengths > 0).sum())
         n_bases += int(block.lengths.sum())
         n_occ += int(valid.sum())
         pos = 0
-        flat = folded.shape[0]
+        flat = folded.shape[1]
         while pos < flat:
             take = min(flat - pos, cfg.chunk_kmers - chunk_fill)
-            chunk.append(folded[pos : pos + take])
+            chunk.append(folded[:, pos : pos + take])
             chunk_fill += take
             pos += take
             if chunk_fill >= cfg.chunk_kmers:
@@ -153,7 +154,7 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
 
     stats = {"reads": n_reads, "bases": n_bases, "kmer_occurrences": n_occ}
     if not partials:
-        empty = jnp.zeros((16, L), dtype=jnp.uint32)
+        empty = jnp.zeros((L, 16), dtype=jnp.uint32)
         return empty, jnp.zeros((16,), jnp.int32), jnp.asarray(0, jnp.int32), stats
     if len(partials) == 1:
         unique, counts, n_u = partials[0]
@@ -173,21 +174,22 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
             else:
                 group.append(p)
                 acc += p[2]
-        lanes = jnp.concatenate([p[0] for p in group])
+        lanes = jnp.concatenate([p[0] for p in group], axis=1)
         weights = jnp.concatenate([p[1] for p in group])
-        cap = _round_capacity(lanes.shape[0])
-        pad = cap - lanes.shape[0]
+        cap = _round_capacity(lanes.shape[1])
+        pad = cap - lanes.shape[1]
         if pad:
             lanes = jnp.concatenate(
-                [lanes, jnp.full((pad, L), count_op.SENTINEL, jnp.uint32)]
+                [lanes, jnp.full((L, pad), count_op.SENTINEL, jnp.uint32)],
+                axis=1,
             )
             weights = jnp.concatenate([weights, jnp.zeros((pad,), jnp.int32)])
-        valid = ~jnp.all(lanes == count_op.SENTINEL, axis=-1)
+        valid = ~jnp.all(lanes == count_op.SENTINEL, axis=0)
         unique, counts, n_unique = count_op.count_canonical(
             lanes, valid, weights=weights, weighted=True
         )
         n_u = int(n_unique)
-        merged = (unique[:n_u], counts[:n_u], n_u)
+        merged = (unique[:, :n_u], counts[:n_u], n_u)
         partials = rest + [merged] if rest else [merged]
         if not rest:
             break
@@ -197,7 +199,7 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
 
 def compact_solid(solid: jnp.ndarray, counts: jnp.ndarray, n_solid: int, k: int):
     """Junction + chain stages on a (C, L) solid set (C = padded capacity)."""
-    C = solid.shape[0]
+    C = solid.shape[1]
     succ, out_deg = junctions_op.successor_arrays(
         solid, jnp.asarray(n_solid, jnp.int32), k
     )
@@ -217,7 +219,7 @@ def assemble_unitigs(
 
     Returns (seqs, kc, abundance_vectors, circular).
     """
-    C = solid.shape[0]
+    C = solid.shape[1]
     uid = np.asarray(info["uid"])
     rank = np.asarray(info["rank"])
     n_unitigs = int(info["n_unitigs"])
@@ -242,8 +244,8 @@ def assemble_unitigs(
     # last base of each oriented k-mer spelling
     last_b = np.where(
         m_orient,
-        ((solid_np[m_vertex, 0] >> np.uint32(2 * (ln.top_lane_bases(k) - 1))) & 3) ^ 2,
-        solid_np[m_vertex, -1] & 3,
+        ((solid_np[0, m_vertex] >> np.uint32(2 * (ln.top_lane_bases(k) - 1))) & 3) ^ 2,
+        solid_np[-1, m_vertex] & 3,
     ).astype(np.uint8)
     m_count = counts_np[m_vertex]
 
@@ -254,7 +256,7 @@ def assemble_unitigs(
         a, b = offsets[u], offsets[u + 1]
         v0 = start_oid[u]
         vert0 = v0 - C if v0 >= C else v0
-        first = ln.lanes_to_int(solid_np[vert0])
+        first = ln.lanes_to_int(solid_np[:, vert0])
         s0 = ln.int_to_string(first, k)
         if v0 >= C:
             s0 = dna.revcomp(s0)
@@ -287,16 +289,17 @@ def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
     """Compaction + assembly + links from a host-side solid (kmer, count)
     table (resume entry point: the analog of re-entering
     GraphUnitigs::create with counting already in storage)."""
-    n_solid = int(solid_np.shape[0])
+    n_solid = int(solid_np.shape[1])
     if n_solid == 0:
         return UnitigSet(
             k=cfg.k, seqs=[], kc=np.zeros(0, np.int64), abundances=[],
             circular=np.zeros(0, bool), links=[], stats={"solid_kmers": 0},
         )
     cap = _round_capacity(n_solid)
-    L = solid_np.shape[1]
+    L = solid_np.shape[0]
     solid = jnp.asarray(np.concatenate(
-        [solid_np.astype(np.uint32), np.zeros((cap - n_solid, L), np.uint32)]
+        [solid_np.astype(np.uint32), np.zeros((L, cap - n_solid), np.uint32)],
+        axis=1,
     ))
     counts = jnp.asarray(np.concatenate(
         [counts_np.astype(np.int32), np.zeros((cap - n_solid,), np.int32)]
@@ -328,7 +331,7 @@ def count_and_filter(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig):
     unique, counts, n_unique, stats = count_blocks(blocks, cfg)
     n_u = int(n_unique)
     cap = _round_capacity(max(1, n_u))
-    unique = unique[:cap]
+    unique = unique[:, :cap]
     counts = counts[:cap]
     histo = np.asarray(
         count_op.abundance_histogram(counts, jnp.asarray(n_u),
@@ -340,7 +343,7 @@ def count_and_filter(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig):
     n_solid = int(n_solid)
     stats["distinct_kmers"] = n_u
     stats["solid_kmers"] = n_solid
-    solid_np = np.asarray(solid)[:n_solid]
+    solid_np = np.asarray(solid)[:, :n_solid]
     counts_np = np.asarray(solid_counts)[:n_solid]
     return solid_np, counts_np, histo, stats
 

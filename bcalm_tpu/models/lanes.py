@@ -13,14 +13,19 @@ with the value right-aligned in the 2*16*L bit field.  Because every k-mer
 in a run has the same k, integer order == lexicographic string order, so
 multi-operand `lax.sort` over the lane tuple sorts k-mers lexicographically.
 
+LAYOUT: device arrays are **lane-major**: shape (L, ...batch...), lane 0
+first.  The batch axis stays the minor (vector-lane) dimension, which is
+what TPU tiling wants — a lane-minor (N, L) layout with L=2..4 would pad
+every row to 128 vector lanes (~64x memory and bandwidth waste; measured
+as a 200x slowdown of the extraction stage before this refactor).
+
 Base encoding follows gatb's convention A=0, C=1, T=2, G=3 so that
 complement(b) == b XOR 2 (independently re-derived; the same packing is
 used by the reference's own oracle, /root/reference/scripts/unitigEvaluator.cpp:70-82).
 
-All functions are shape-polymorphic over a leading batch shape and operate
-on arrays of shape (..., L).  `L` and `k` are static Python ints — each
-(k, L) combination traces/compiles once, the analog of the reference's
-KSIZE_LIST template instantiation.
+`L` and `k` are static Python ints — each (k, L) combination
+traces/compiles once, the analog of the reference's KSIZE_LIST template
+instantiation.
 """
 
 from __future__ import annotations
@@ -67,6 +72,11 @@ def lane_mask(k: int) -> np.ndarray:
     return m
 
 
+def _bmask(mask_1d: np.ndarray, ndim: int) -> jnp.ndarray:
+    """Reshape a per-lane (L,) mask for broadcasting over (L, ...batch)."""
+    return jnp.asarray(mask_1d.reshape((mask_1d.shape[0],) + (1,) * (ndim - 1)))
+
+
 # ---------------------------------------------------------------------------
 # python-int <-> lanes (host-side helpers, used by tests/oracle/IO)
 # ---------------------------------------------------------------------------
@@ -81,23 +91,31 @@ def int_to_lanes(x: int, k: int) -> np.ndarray:
     return out
 
 
+def ints_to_lanes(xs, k: int) -> np.ndarray:
+    """Iterable of big-ints -> lane-major (L, N) uint32."""
+    rows = [int_to_lanes(int(x), k) for x in xs]
+    if not rows:
+        return np.zeros((num_lanes(k), 0), np.uint32)
+    return np.stack(rows, axis=1)
+
+
 def lanes_to_int(lanes) -> int:
     """(L,) lanes -> python big-int (host-side)."""
     arr = np.asarray(lanes, dtype=np.uint32)
     if arr.ndim != 1:
         raise ValueError("lanes_to_int expects a single k-mer (1-D lanes)")
     x = 0
-    for j in range(arr.shape[-1]):
+    for j in range(arr.shape[0]):
         x = (x << 32) | int(arr[j])
     return x
 
 
 def lanes_to_ints(lanes) -> np.ndarray:
-    """(N, L) lanes -> (N,) array of python big-ints (dtype=object for L>1)."""
+    """Lane-major (L, N) lanes -> (N,) array of python big-ints."""
     arr = np.asarray(lanes, dtype=np.uint32)
-    x = np.zeros(arr.shape[:-1], dtype=object)
-    for j in range(arr.shape[-1]):
-        x = (x << 32) | arr[..., j].astype(object)
+    x = np.zeros(arr.shape[1:], dtype=object)
+    for j in range(arr.shape[0]):
+        x = (x << 32) | arr[j].astype(object)
     return x
 
 
@@ -117,21 +135,21 @@ def int_to_string(x: int, k: int) -> str:
 
 
 # ---------------------------------------------------------------------------
-# lane-field bit shifts (static shift amounts)
+# lane-field bit shifts (static shift amounts); lanes shape (L, ...batch)
 # ---------------------------------------------------------------------------
 
 def shift_right_bits(lanes: jnp.ndarray, s: int) -> jnp.ndarray:
     """Logical right shift of the whole multi-lane field by `s` bits (static)."""
     if s == 0:
         return lanes
-    L = lanes.shape[-1]
+    L = lanes.shape[0]
     lane_move, bit = divmod(s, 32)
     if lane_move:
-        pad = jnp.zeros(lanes.shape[:-1] + (lane_move,), dtype=_U32)
-        lanes = jnp.concatenate([pad, lanes[..., : L - lane_move]], axis=-1)
+        pad = jnp.zeros((lane_move,) + lanes.shape[1:], dtype=_U32)
+        lanes = jnp.concatenate([pad, lanes[: L - lane_move]], axis=0)
     if bit:
         hi = jnp.concatenate(
-            [jnp.zeros(lanes.shape[:-1] + (1,), dtype=_U32), lanes[..., :-1]], axis=-1
+            [jnp.zeros((1,) + lanes.shape[1:], dtype=_U32), lanes[:-1]], axis=0
         )
         lanes = (lanes >> np.uint32(bit)) | (hi << np.uint32(32 - bit))
     return lanes
@@ -144,14 +162,14 @@ def shift_left_bits(lanes: jnp.ndarray, s: int) -> jnp.ndarray:
     """
     if s == 0:
         return lanes
-    L = lanes.shape[-1]
+    L = lanes.shape[0]
     lane_move, bit = divmod(s, 32)
     if lane_move:
-        pad = jnp.zeros(lanes.shape[:-1] + (lane_move,), dtype=_U32)
-        lanes = jnp.concatenate([lanes[..., lane_move:], pad], axis=-1)
+        pad = jnp.zeros((lane_move,) + lanes.shape[1:], dtype=_U32)
+        lanes = jnp.concatenate([lanes[lane_move:], pad], axis=0)
     if bit:
         lo = jnp.concatenate(
-            [lanes[..., 1:], jnp.zeros(lanes.shape[:-1] + (1,), dtype=_U32)], axis=-1
+            [lanes[1:], jnp.zeros((1,) + lanes.shape[1:], dtype=_U32)], axis=0
         )
         lanes = (lanes << np.uint32(bit)) | (lo >> np.uint32(32 - bit))
     return lanes
@@ -171,27 +189,27 @@ def _reverse_bases_in_lane(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def revcomp(lanes: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Reverse complement of (..., L) k-mers.
+    """Reverse complement of (L, ...) k-mers.
 
     Reverse all 2-bit groups of the 32L-bit field (per-lane base reversal +
     lane-order reversal), complement, then realign right by 32L - 2k bits.
     """
-    L = lanes.shape[-1]
-    rev = _reverse_bases_in_lane(lanes ^ _COMP)[..., ::-1]
+    L = lanes.shape[0]
+    rev = _reverse_bases_in_lane(lanes ^ _COMP)[::-1]
     return shift_right_bits(rev, 32 * L - 2 * k)
 
 
 def less(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Lexicographic a < b over the lane axis; returns bool of batch shape."""
-    L = a.shape[-1]
-    lt = a[..., L - 1] < b[..., L - 1]
+    L = a.shape[0]
+    lt = a[L - 1] < b[L - 1]
     for j in range(L - 2, -1, -1):
-        lt = (a[..., j] < b[..., j]) | ((a[..., j] == b[..., j]) & lt)
+        lt = (a[j] < b[j]) | ((a[j] == b[j]) & lt)
     return lt
 
 
 def equal(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.all(a == b, axis=-1)
+    return jnp.all(a == b, axis=0)
 
 
 def canonical(lanes: jnp.ndarray, k: int):
@@ -203,7 +221,7 @@ def canonical(lanes: jnp.ndarray, k: int):
     """
     rc = revcomp(lanes, k)
     was_rc = less(rc, lanes)
-    canon = jnp.where(was_rc[..., None], rc, lanes)
+    canon = jnp.where(was_rc[None], rc, lanes)
     return canon, was_rc
 
 
@@ -212,7 +230,7 @@ def is_palindrome(lanes: jnp.ndarray, k: int) -> jnp.ndarray:
     bidirected-graphs-in-bcalm2.md:57 — odd-length strings are never their
     own reverse complement)."""
     if k % 2 == 1:
-        return jnp.zeros(lanes.shape[:-1], dtype=bool)
+        return jnp.zeros(lanes.shape[1:], dtype=bool)
     return equal(lanes, revcomp(lanes, k))
 
 
@@ -223,30 +241,30 @@ def is_palindrome(lanes: jnp.ndarray, k: int) -> jnp.ndarray:
 def suffix_kminus1(lanes: jnp.ndarray, k: int) -> jnp.ndarray:
     """Last k-1 bases as a right-aligned (k-1)-mer (drops the top base)."""
     L2 = num_lanes(k - 1)
-    out = lanes[..., lanes.shape[-1] - L2 :]
-    return out & jnp.asarray(lane_mask(k - 1), dtype=_U32)
+    out = lanes[lanes.shape[0] - L2 :]
+    return out & _bmask(lane_mask(k - 1), out.ndim)
 
 
 def prefix_kminus1(lanes: jnp.ndarray, k: int) -> jnp.ndarray:
     """First k-1 bases as a right-aligned (k-1)-mer (value >> 2)."""
     L2 = num_lanes(k - 1)
     out = shift_right_bits(lanes, 2)
-    return out[..., lanes.shape[-1] - L2 :]
+    return out[lanes.shape[0] - L2 :]
 
 
 def first_base(lanes: jnp.ndarray, k: int) -> jnp.ndarray:
     """Most-significant base code, shape = batch shape, uint32."""
     r = top_lane_bases(k)
-    return (lanes[..., 0] >> np.uint32(2 * (r - 1))) & np.uint32(3)
+    return (lanes[0] >> np.uint32(2 * (r - 1))) & np.uint32(3)
 
 
 def last_base(lanes: jnp.ndarray, k: int) -> jnp.ndarray:
     """Least-significant base code."""
-    return lanes[..., -1] & np.uint32(3)
+    return lanes[-1] & np.uint32(3)
 
 
 def append_base(lanes: jnp.ndarray, base, k: int) -> jnp.ndarray:
     """(kmer << 2 | base) mod 4^k — the rolling-extension step."""
     out = shift_left_bits(lanes, 2)
-    out = out.at[..., -1].set(out[..., -1] | jnp.asarray(base, _U32))
-    return out & jnp.asarray(lane_mask(k), dtype=_U32)
+    out = out.at[-1].set(out[-1] | jnp.asarray(base, _U32))
+    return out & _bmask(lane_mask(k), out.ndim)

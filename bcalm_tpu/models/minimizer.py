@@ -38,7 +38,7 @@ def mmer_count(k: int, m: int) -> int:
 
 
 def extract_mmers(lanes: jnp.ndarray, k: int, m: int) -> jnp.ndarray:
-    """All m-mers of each k-mer: (..., L) -> (..., k-m+1) uint32.
+    """All m-mers of each k-mer: lane-major (L, ...) -> (k-m+1, ...) uint32.
 
     m <= 16 so each m-mer fits one lane.  m-mer j covers bases [j, j+m).
     """
@@ -51,8 +51,8 @@ def extract_mmers(lanes: jnp.ndarray, k: int, m: int) -> jnp.ndarray:
         # shift so that bases [j, j+m) land in the low 2m bits:
         # total bases k, drop k - (j+m) trailing bases
         shifted = ln.shift_right_bits(lanes, 2 * (k - (j + m)))
-        out.append(shifted[..., -1] & mask)
-    return jnp.stack(out, axis=-1)
+        out.append(shifted[-1] & mask)
+    return jnp.stack(out, axis=0)
 
 
 @partial(jax.jit, static_argnames=("k", "m"))
@@ -62,17 +62,17 @@ def minimizers(lanes: jnp.ndarray, k: int, m: int,
     frequency-ordered when freq_rank (4^m,) uint32 is given)."""
     mm = extract_mmers(lanes, k, m)
     if freq_rank is None:
-        return jnp.min(mm, axis=-1)
+        return jnp.min(mm, axis=0)
     ranked = freq_rank[mm]
-    best = jnp.argmin(ranked, axis=-1)
-    return jnp.take_along_axis(mm, best[..., None], axis=-1)[..., 0]
+    best = jnp.argmin(ranked, axis=0)
+    return jnp.take_along_axis(mm, best[None], axis=0)[0]
 
 
 @partial(jax.jit, static_argnames=("k", "m"))
 def mmer_histogram(lanes: jnp.ndarray, valid: jnp.ndarray, k: int, m: int):
     """Sampled m-mer frequency histogram over a k-mer set: (4^m,) int32."""
     mm = extract_mmers(lanes, k, m)
-    w = jnp.broadcast_to(valid[..., None], mm.shape).astype(jnp.int32)
+    w = jnp.broadcast_to(valid[None], mm.shape).astype(jnp.int32)
     return jnp.bincount(
         mm.reshape(-1).astype(jnp.int32), weights=w.reshape(-1),
         length=4 ** m,

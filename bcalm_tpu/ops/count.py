@@ -9,13 +9,16 @@ All shapes are static: "number of unique k-mers" is carried as a scalar
 alongside fixed-capacity arrays, the standard XLA idiom for data-dependent
 sizes.
 
-Performance notes (measured on v5e):
+Layout + performance notes (measured on v5e):
+- k-mer sets are LANE-MAJOR (L, N) uint32 (see models.lanes): each lane is
+  a contiguous (N,) vector, which sorts/scatters at memory speed; a
+  lane-minor (N, L) layout tile-pads L up to 128 and ran ~200x slower,
 - validity is FOLDED into the key: invalid slots become the all-ones
   sentinel, which is never a canonical k-mer (rc(G^k) = C^k < G^k), so the
-  sort carries exactly L key operands and nothing else,
+  sort carries exactly L key operands,
 - group ids double as compaction destinations (segment_sum output is
   already compacted), so counting costs one sort + one cumsum + one
-  segment-sum + one scatter,
+  segment-sum + L scatters,
 - callers should re-slice capacity to the (much smaller) distinct count
   before running the solidity filter (engine.count_and_filter does).
 
@@ -37,27 +40,24 @@ SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def fold_sentinel(lanes: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Set invalid rows to the all-ones sentinel (sorts after every
-    canonical k-mer; all-ones = G^k whose canonical form is C^k)."""
-    return jnp.where(valid[..., None], lanes, SENTINEL)
+    """Set invalid columns of a lane-major (L, N) set to the all-ones
+    sentinel (sorts after every canonical k-mer; all-ones = G^k whose
+    canonical form is C^k)."""
+    return jnp.where(valid[None], lanes, SENTINEL)
 
 
 def row_starts(sorted_lanes: jnp.ndarray, sorted_valid: jnp.ndarray) -> jnp.ndarray:
-    """First-occurrence mask among valid sorted rows."""
-    diff = jnp.any(sorted_lanes[1:] != sorted_lanes[:-1], axis=-1)
+    """First-occurrence mask among valid sorted columns of (L, N)."""
+    diff = jnp.any(sorted_lanes[:, 1:] != sorted_lanes[:, :-1], axis=0)
     first = jnp.concatenate([jnp.ones((1,), bool), diff])
     return sorted_valid & first
 
 
-# backwards-compatible aliases used elsewhere
-def run_starts(sorted_lanes, sorted_valid):
-    return row_starts(sorted_lanes, sorted_valid)
-
-
 def compact(mask: jnp.ndarray, arrays, fill=0):
-    """Stable-compact rows where mask is True to the front of each array.
+    """Stable-compact entries where mask is True to the front of each array
+    (1-D arrays or lane-major (L, N) arrays, compacting along the last axis).
 
-    Returns (compacted_arrays, count).  Rows past `count` are `fill`.
+    Returns (compacted_arrays, count).  Entries past `count` are `fill`.
     """
     N = mask.shape[0]
     dest = jnp.cumsum(mask.astype(jnp.int32)) - 1
@@ -65,7 +65,12 @@ def compact(mask: jnp.ndarray, arrays, fill=0):
     outs = []
     for arr in arrays:
         out = jnp.full(arr.shape, fill, dtype=arr.dtype)
-        outs.append(out.at[dest].set(arr, mode="drop"))
+        if arr.ndim == 1:
+            outs.append(out.at[dest].set(arr, mode="drop"))
+        else:  # lane-major: scatter each lane vector
+            for j in range(arr.shape[0]):
+                out = out.at[j, dest].set(arr[j], mode="drop")
+            outs.append(out)
     return tuple(outs), jnp.sum(mask.astype(jnp.int32))
 
 
@@ -75,24 +80,25 @@ def count_canonical(lanes: jnp.ndarray, valid: jnp.ndarray, weights=None,
     """Count occurrences of canonical k-mers.
 
     Args:
-      lanes: (N, L) uint32 canonical k-mers (unsorted, with invalid slots)
+      lanes: lane-major (L, N) uint32 canonical k-mers (unsorted, may
+        contain invalid/sentinel slots)
       valid: (N,) bool
       weights: optional (N,) int32 per-occurrence weights (used when merging
         partial (kmer, count) runs: weighted=True)
 
     Returns:
-      unique: (N, L) unique k-mers compacted to the front, sorted ascending
+      unique: (L, N) unique k-mers compacted to the front, sorted ascending
       counts: (N,) int32 occurrence counts aligned with `unique`
       n_unique: () int32
     """
-    N, L = lanes.shape
+    L, N = lanes.shape
     folded = fold_sentinel(lanes, valid)
-    ops = [folded[:, j] for j in range(L)]
+    ops = [folded[j] for j in range(L)]
     if weighted:
         ops.append(weights.astype(jnp.int32))
     out = jax.lax.sort(ops, num_keys=L)
-    s_lanes = jnp.stack(out[:L], axis=-1)
-    s_valid = ~jnp.all(s_lanes == SENTINEL, axis=-1)
+    s_lanes = jnp.stack(out[:L], axis=0)
+    s_valid = ~jnp.all(s_lanes == SENTINEL, axis=0)
     starts = row_starts(s_lanes, s_valid)
     gid = jnp.cumsum(starts.astype(jnp.int32)) - 1
     gid = jnp.where(s_valid, gid, N - 1)
@@ -101,10 +107,11 @@ def count_canonical(lanes: jnp.ndarray, valid: jnp.ndarray, weights=None,
     counts = jax.ops.segment_sum(
         w, gid, num_segments=N, indices_are_sorted=True
     ).astype(jnp.int32)
-    # group id == compaction destination: one scatter compacts the keys
+    # group id == compaction destination: per-lane scatters compact the keys
     dest = jnp.where(starts, gid, N)
     unique = jnp.zeros_like(s_lanes)
-    unique = unique.at[dest].set(s_lanes, mode="drop")
+    for j in range(L):
+        unique = unique.at[j, dest].set(s_lanes[j], mode="drop")
     n_unique = jnp.sum(starts.astype(jnp.int32))
     return unique, counts, n_unique
 
@@ -113,7 +120,7 @@ def count_canonical(lanes: jnp.ndarray, valid: jnp.ndarray, weights=None,
 def filter_abundance(unique, counts, n_unique, abundance_min, abundance_max):
     """Solidity filter (gatb CountProcessorSolidity, 'sum' solidity kind):
     keep abundance_min <= count <= abundance_max."""
-    N = unique.shape[0]
+    N = unique.shape[1]
     idx = jnp.arange(N, dtype=jnp.int32)
     keep = (
         (idx < n_unique)
@@ -144,12 +151,13 @@ def abundance_histogram(counts, n_unique, histo_max: int = 10000):
 
 
 def sort_by_lanes(lanes: jnp.ndarray, valid: jnp.ndarray, payloads=()):
-    """Sort (N, L) k-mers lexicographically, invalid entries last (sentinel
-    folding).  Returns (sorted_lanes, sorted_valid, sorted_payloads)."""
-    N, L = lanes.shape
+    """Sort lane-major (L, N) k-mers lexicographically, invalid entries
+    last (sentinel folding).  Returns (sorted_lanes, sorted_valid,
+    sorted_payloads)."""
+    L, N = lanes.shape
     folded = fold_sentinel(lanes, valid)
-    operands = [folded[:, j] for j in range(L)] + list(payloads)
+    operands = [folded[j] for j in range(L)] + list(payloads)
     out = jax.lax.sort(operands, num_keys=L)
-    sorted_lanes = jnp.stack(out[:L], axis=-1)
-    sorted_valid = ~jnp.all(sorted_lanes == SENTINEL, axis=-1)
+    sorted_lanes = jnp.stack(out[:L], axis=0)
+    sorted_valid = ~jnp.all(sorted_lanes == SENTINEL, axis=0)
     return sorted_lanes, sorted_valid, tuple(out[L:])

@@ -63,7 +63,8 @@ def window_packs(bases: jnp.ndarray):
 
 
 def kmer_lanes_from_packs(fwd_pack: jnp.ndarray, rc_pack: jnp.ndarray, k: int):
-    """All-position k-mer lanes: returns (fwd, rc), each (B, P, L).
+    """All-position k-mer lanes: returns (fwd, rc), each lane-major
+    (L, B, P).
 
     Derivation (V = forward value, rcV = reverse-complement value, r = bases
     in the top lane, lane j=0 most significant):
@@ -86,7 +87,7 @@ def kmer_lanes_from_packs(fwd_pack: jnp.ndarray, rc_pack: jnp.ndarray, k: int):
             rcl = rcl & np.uint32((1 << (2 * r)) - 1)
         fwd.append(f)
         rc.append(rcl)
-    return jnp.stack(fwd, axis=-1), jnp.stack(rc, axis=-1)
+    return jnp.stack(fwd, axis=0), jnp.stack(rc, axis=0)
 
 
 def extract_canonical(words: jnp.ndarray, lengths: jnp.ndarray, k: int):
@@ -98,7 +99,7 @@ def extract_canonical(words: jnp.ndarray, lengths: jnp.ndarray, k: int):
       k:       static k-mer size
 
     Returns:
-      canon: (B, P, L) uint32 canonical k-mer lanes (P = W*16)
+      canon: lane-major (L, B, P) uint32 canonical k-mer lanes (P = W*16)
       valid: (B, P) bool — position p holds a real k-mer (p + k <= length)
     """
     bases = decode_words(words)
@@ -106,7 +107,7 @@ def extract_canonical(words: jnp.ndarray, lengths: jnp.ndarray, k: int):
     fwd_pack, rc_pack = window_packs(bases)
     fwd, rc = kmer_lanes_from_packs(fwd_pack, rc_pack, k)
     use_rc = ln.less(rc, fwd)
-    canon = jnp.where(use_rc[..., None], rc, fwd)
+    canon = jnp.where(use_rc[None], rc, fwd)
     pos = jnp.arange(P, dtype=jnp.int32)[None, :]
     valid = pos <= (lengths[:, None] - k)
     return canon, valid

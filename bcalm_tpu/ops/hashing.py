@@ -27,8 +27,8 @@ def mix32(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def hash_lanes(lanes: jnp.ndarray) -> jnp.ndarray:
-    """(..., L) uint32 lanes -> (...) uint32 hash."""
-    h = jnp.full(lanes.shape[:-1], _SEED, dtype=jnp.uint32)
-    for j in range(lanes.shape[-1]):
-        h = mix32((h * _GOLD) ^ lanes[..., j])
+    """Lane-major (L, ...) uint32 lanes -> (...) uint32 hash."""
+    h = jnp.full(lanes.shape[1:], _SEED, dtype=jnp.uint32)
+    for j in range(lanes.shape[0]):
+        h = mix32((h * _GOLD) ^ lanes[j])
     return h

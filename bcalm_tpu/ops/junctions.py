@@ -71,17 +71,17 @@ def strand_folded(k: int) -> bool:
 
 
 def _make_keys(keys: jnp.ndarray, strand: jnp.ndarray, valid, k: int):
-    """Fold strand (and validity sentinel) into the key lanes.
+    """Fold strand (and validity sentinel) into lane-major key lanes.
 
-    Returns (E, K) uint32 where K = L2 (+1 if no spare bits).
+    keys: (L2, N); returns (K, N) uint32 where K = L2 (+1 if no spare bits).
     """
     if strand_folded(k):
         r = ln.top_lane_bases(k - 1)
-        lane0 = keys[:, 0] | (strand << np.uint32(2 * r))
-        out = jnp.concatenate([lane0[:, None], keys[:, 1:]], axis=1)
+        lane0 = keys[0] | (strand << np.uint32(2 * r))
+        out = jnp.concatenate([lane0[None], keys[1:]], axis=0)
     else:
-        out = jnp.concatenate([strand[:, None], keys], axis=1)
-    return jnp.where(valid[:, None], out, SENTINEL)
+        out = jnp.concatenate([strand[None], keys], axis=0)
+    return jnp.where(valid[None], out, SENTINEL)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -91,7 +91,7 @@ def successor_arrays(solid: jnp.ndarray, n_solid: jnp.ndarray, k: int):
     Returns:
       succ: (2N,) int32 — unitig-successor oriented id, -1 if none
     """
-    N = solid.shape[0]
+    N = solid.shape[1]
     suf = ln.suffix_kminus1(solid, k)
     pre = ln.prefix_kminus1(solid, k)
     suf_c, sig = ln.canonical(suf, k - 1)
@@ -113,7 +113,7 @@ def successor_arrays(solid: jnp.ndarray, n_solid: jnp.ndarray, k: int):
         _make_keys(suf_c, inv_sig, valid1, k),
         _make_keys(pre_c, tau, valid1, k),
         _make_keys(pre_c, inv_tau, valid1, k),
-    ])
+    ], axis=1)
     oid = jnp.concatenate([ids, ids + N, ids, ids + N]).astype(jnp.uint32)
     role = jnp.concatenate([
         jnp.zeros((N,), _U32), jnp.ones((N,), _U32),
@@ -121,16 +121,16 @@ def successor_arrays(solid: jnp.ndarray, n_solid: jnp.ndarray, k: int):
     ])
     payload = oid | (role << _ROLE_SHIFT)
 
-    K = keys.shape[1]
-    out = jax.lax.sort([keys[:, j] for j in range(K)] + [payload], num_keys=K)
-    s_keys = jnp.stack(out[:K], axis=-1)
+    K = keys.shape[0]
+    out = jax.lax.sort([keys[j] for j in range(K)] + [payload], num_keys=K)
+    s_keys = jnp.stack(out[:K], axis=0)
     s_pay = out[K]
     E = s_pay.shape[0]
 
-    s_valid = s_keys[:, 0] != SENTINEL
+    s_valid = s_keys[0] != SENTINEL
     eq_prev = jnp.concatenate([
         jnp.zeros((1,), bool),
-        jnp.all(s_keys[1:] == s_keys[:-1], axis=-1),
+        jnp.all(s_keys[:, 1:] == s_keys[:, :-1], axis=0),
     ])
     eq_next = jnp.concatenate([eq_prev[1:], jnp.zeros((1,), bool)])
 

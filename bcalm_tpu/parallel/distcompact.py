@@ -43,14 +43,11 @@ _U32 = jnp.uint32
 SENTINEL = np.uint32(0xFFFFFFFF)
 
 
-def _exchange(bl, bv, extra=None):
-    """all_to_all a (n_dev, cap, ...) bucket array (+optional payload)."""
-    recv_l = jax.lax.all_to_all(bl, AXIS, split_axis=0, concat_axis=0)
+def _exchange(bl, bv):
+    """all_to_all channel-major buckets: bl (C, n_dev, cap), bv (n_dev, cap)."""
+    recv_l = jax.lax.all_to_all(bl, AXIS, split_axis=1, concat_axis=1)
     recv_v = jax.lax.all_to_all(bv, AXIS, split_axis=0, concat_axis=0)
-    if extra is None:
-        return recv_l, recv_v
-    recv_e = jax.lax.all_to_all(extra, AXIS, split_axis=0, concat_axis=0)
-    return recv_l, recv_v, recv_e
+    return recv_l, recv_v
 
 
 def _local_succ_shard(solid, n_local, k: int, n_dev: int, cap_entries: int,
@@ -59,7 +56,7 @@ def _local_succ_shard(solid, n_local, k: int, n_dev: int, cap_entries: int,
     route edges back to src owners.  Returns local succ shard (2*slot_cap,)
     plus dropped counts."""
     me = jax.lax.axis_index(AXIS)
-    N = solid.shape[0]  # == slot_cap
+    N = solid.shape[1]  # == slot_cap
 
     suf = ln.suffix_kminus1(solid, k)
     pre = ln.prefix_kminus1(solid, k)
@@ -83,7 +80,7 @@ def _local_succ_shard(solid, n_local, k: int, n_dev: int, cap_entries: int,
         junc._make_keys(suf_c, inv_sig, valid1, k),
         junc._make_keys(pre_c, tau, valid1, k),
         junc._make_keys(pre_c, inv_tau, valid1, k),
-    ])
+    ], axis=1)
     oid = jnp.concatenate([gslot, gslot + tot, gslot, gslot + tot]).astype(_U32)
     role = jnp.concatenate([
         jnp.zeros((N,), _U32), jnp.ones((N,), _U32),
@@ -93,25 +90,25 @@ def _local_succ_shard(solid, n_local, k: int, n_dev: int, cap_entries: int,
     valid = jnp.concatenate([valid1] * 4)
 
     owner = (hashing.hash_lanes(keys) % np.uint32(n_dev)).astype(jnp.int32)
-    stacked = jnp.concatenate([keys, payload[:, None]], axis=1)
+    stacked = jnp.concatenate([keys, payload[None]], axis=0)
     bl, bv, drop1 = _route_to_buckets(stacked, valid, owner, n_dev, cap_entries)
     recv, recv_v = _exchange(bl, bv)
-    K = keys.shape[1]
-    ent = recv.reshape(-1, K + 1)
+    K = keys.shape[0]
+    ent = recv.reshape(K + 1, -1)
     ent_valid = recv_v.reshape(-1)
 
-    e_keys = jnp.where(ent_valid[:, None], ent[:, :K], SENTINEL)
-    e_pay = jnp.where(ent_valid, ent[:, K], 0)
+    e_keys = jnp.where(ent_valid[None], ent[:K], SENTINEL)
+    e_pay = jnp.where(ent_valid, ent[K], 0)
 
     out = jax.lax.sort(
-        [e_keys[:, j] for j in range(K)] + [e_pay], num_keys=K
+        [e_keys[j] for j in range(K)] + [e_pay], num_keys=K
     )
-    s_keys = jnp.stack(out[:K], axis=-1)
+    s_keys = jnp.stack(out[:K], axis=0)
     s_pay = out[K]
-    s_valid = s_keys[:, 0] != SENTINEL
+    s_valid = s_keys[0] != SENTINEL
 
     eq_prev = jnp.concatenate([
-        jnp.zeros((1,), bool), jnp.all(s_keys[1:] == s_keys[:-1], axis=-1)
+        jnp.zeros((1,), bool), jnp.all(s_keys[:, 1:] == s_keys[:, :-1], axis=0)
     ])
     eq_next = jnp.concatenate([eq_prev[1:], jnp.zeros((1,), bool)])
     pair_head = s_valid & ~eq_prev & eq_next & ~jnp.concatenate(
@@ -131,17 +128,17 @@ def _local_succ_shard(solid, n_local, k: int, n_dev: int, cap_entries: int,
     # route (src, dst) to the owner of src's slot
     src_slot = jnp.where(src >= tot, src - tot, src)
     src_owner = src_slot // slot_cap
-    edge = jnp.stack([src.astype(_U32), dst.astype(_U32)], axis=1)
+    edge = jnp.stack([src.astype(_U32), dst.astype(_U32)], axis=0)
     bl2, bv2, drop2 = _route_to_buckets(edge, ok, src_owner, n_dev,
                                         cap_entries)
     recv2, recv2_v = _exchange(bl2, bv2)
-    edges = recv2.reshape(-1, 2)
+    edges = recv2.reshape(2, -1)
     ev = recv2_v.reshape(-1)
 
     # scatter into the local succ shard, indexed by local oriented id:
     # local id: slot strand + => slot - me*slot_cap; strand - => + slot_cap
-    esrc = edges[:, 0].astype(jnp.int32)
-    edst = edges[:, 1].astype(jnp.int32)
+    esrc = edges[0].astype(jnp.int32)
+    edst = edges[1].astype(jnp.int32)
     eslot = jnp.where(esrc >= tot, esrc - tot, esrc) - me * slot_cap
     eneg = esrc >= tot
     lidx = jnp.where(eneg, eslot + slot_cap, eslot)
@@ -158,7 +155,7 @@ def succ_shard_fn(mesh, k: int, n_dev: int, cap_entries: int, slot_cap: int):
         partial(_local_succ_shard, k=k, n_dev=n_dev, cap_entries=cap_entries,
                 slot_cap=slot_cap),
         mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS)),
+        in_specs=(P(None, AXIS), P(AXIS)),
         out_specs=(P(AXIS), P()),
         check_vma=False,
     )
@@ -183,7 +180,7 @@ def distributed_compact(mesh, solid_per_dev, counts_per_dev, k: int):
     current scalability waterline and is ~100x smaller than the input.)
 
     Args:
-      solid_per_dev: list of (n_d, L) uint32 arrays (disjoint k-mer sets)
+      solid_per_dev: list of lane-major (L, n_d) uint32 arrays (disjoint sets)
       counts_per_dev: list of (n_d,) int32
     Returns engine.UnitigSet.
     """
@@ -191,15 +188,15 @@ def distributed_compact(mesh, solid_per_dev, counts_per_dev, k: int):
     from bcalm_tpu.ops import chains as chains_op
 
     n_dev = mesh.devices.size
-    L = solid_per_dev[0].shape[1]
-    slot_cap = eng._round_capacity(max(1, max(s.shape[0] for s in solid_per_dev)))
+    L = solid_per_dev[0].shape[0]
+    slot_cap = eng._round_capacity(max(1, max(s.shape[1] for s in solid_per_dev)))
 
-    solid_global = np.zeros((n_dev * slot_cap, L), np.uint32)
+    solid_global = np.zeros((L, n_dev * slot_cap), np.uint32)
     counts_global = np.zeros((n_dev * slot_cap,), np.int32)
     n_local = np.zeros((n_dev,), np.int32)
     for d in range(n_dev):
-        n_d = solid_per_dev[d].shape[0]
-        solid_global[d * slot_cap : d * slot_cap + n_d] = solid_per_dev[d]
+        n_d = solid_per_dev[d].shape[1]
+        solid_global[:, d * slot_cap : d * slot_cap + n_d] = solid_per_dev[d]
         counts_global[d * slot_cap : d * slot_cap + n_d] = counts_per_dev[d]
         n_local[d] = n_d
 

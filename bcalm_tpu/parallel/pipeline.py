@@ -48,18 +48,20 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs), (AXIS,))
 
 
-def _route_to_buckets(lanes, valid, owner, n_dev: int, cap: int):
-    """Scatter entries into (n_dev, cap) fixed buckets by owner id.
+def _route_to_buckets(stacked, valid, owner, n_dev: int, cap: int):
+    """Scatter entries into per-destination fixed buckets by owner id.
 
-    Returns (bucket_lanes (n_dev, cap, L), bucket_valid (n_dev, cap),
-    n_dropped scalar).  Overflow within a destination bucket is counted.
+    stacked: channel-major (C, N) uint32 (lane rows + packed payload rows).
+    Returns (buckets (C, n_dev, cap), bucket_valid (n_dev, cap),
+    n_dropped scalar).  Overflow within a destination bucket is counted,
+    never silent.
     """
-    N, L = lanes.shape
+    C, N = stacked.shape
     owner = jnp.where(valid, owner, n_dev)
     # stable sort by owner keeps determinism
     order = jnp.argsort(owner, stable=True)
     s_owner = owner[order]
-    s_lanes = lanes[order]
+    s_stack = stacked[:, order]
     s_valid = valid[order]
     # position within each owner run
     idx = jnp.arange(N, dtype=jnp.int32)
@@ -72,26 +74,27 @@ def _route_to_buckets(lanes, valid, owner, n_dev: int, cap: int):
     within = idx - run_start
     ok = s_valid & (within < cap) & (s_owner < n_dev)
     dest = jnp.where(ok, s_owner * cap + within, n_dev * cap)
-    bl = jnp.zeros((n_dev * cap, L), dtype=lanes.dtype)
-    bl = bl.at[dest].set(jnp.where(ok[:, None], s_lanes, 0), mode="drop")
+    bl = jnp.zeros((C, n_dev * cap), dtype=stacked.dtype)
+    for c in range(C):
+        bl = bl.at[c, dest].set(jnp.where(ok, s_stack[c], 0), mode="drop")
     bv = jnp.zeros((n_dev * cap,), dtype=bool)
     bv = bv.at[dest].set(ok, mode="drop")
     n_dropped = jnp.sum((s_valid & ~ok).astype(jnp.int32))
-    return bl.reshape(n_dev, cap, L), bv.reshape(n_dev, cap), n_dropped
+    return bl.reshape(C, n_dev, cap), bv.reshape(n_dev, cap), n_dropped
 
 
 def _local_shard_count(words, lengths, k: int, n_dev: int, cap: int):
     """Per-device body: extract, route, exchange, count. Runs under shard_map."""
     canon, valid = extract_op.extract_canonical(words, lengths, k)
-    L = canon.shape[-1]
-    lanes = canon.reshape(-1, L)
+    L = canon.shape[0]
+    lanes = canon.reshape(L, -1)
     flat_valid = valid.reshape(-1)
     owner = (hashing.hash_lanes(lanes) % np.uint32(n_dev)).astype(jnp.int32)
     bl, bv, dropped = _route_to_buckets(lanes, flat_valid, owner, n_dev, cap)
-    # exchange: row i goes to device i; we receive one row from every device
-    recv_l = jax.lax.all_to_all(bl, AXIS, split_axis=0, concat_axis=0)
+    # exchange: bucket i goes to device i; we receive one from every device
+    recv_l = jax.lax.all_to_all(bl, AXIS, split_axis=1, concat_axis=1)
     recv_v = jax.lax.all_to_all(bv, AXIS, split_axis=0, concat_axis=0)
-    mine_l = recv_l.reshape(-1, L)
+    mine_l = recv_l.reshape(L, -1)
     mine_v = recv_v.reshape(-1)
     unique, counts, n_unique = count_op.count_canonical(mine_l, mine_v)
     total_dropped = jax.lax.psum(dropped, AXIS)
@@ -110,7 +113,7 @@ def distributed_count_fn(mesh: Mesh, k: int, cap_per_dest: int):
         partial(_local_shard_count, k=k, n_dev=n_dev, cap=cap_per_dest),
         mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS)),
-        out_specs=(P(AXIS, None), P(AXIS), P(AXIS), P()),
+        out_specs=(P(None, AXIS), P(AXIS), P(AXIS), P()),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -118,7 +121,7 @@ def distributed_count_fn(mesh: Mesh, k: int, cap_per_dest: int):
 
 @dataclass
 class DistributedCountResult:
-    unique: jax.Array     # (n_dev * cap_total, L) sharded, per-device sorted
+    unique: jax.Array     # (L, n_dev * cap_total) axis-1-sharded, per-device sorted
     counts: jax.Array
     n_unique: np.ndarray  # (n_dev,) per-device unique counts
     dropped: int
@@ -141,14 +144,14 @@ def solid_per_device(result: DistributedCountResult, abundance_min: int,
     n_dev = result.n_unique.shape[0]
     uniq = np.asarray(result.unique)
     cnts = np.asarray(result.counts)
-    per = uniq.shape[0] // n_dev
+    per = uniq.shape[1] // n_dev
     parts_k, parts_c = [], []
     for d in range(n_dev):
         n = int(result.n_unique[d])
-        u = uniq[d * per : d * per + n]
+        u = uniq[:, d * per : d * per + n]
         c = cnts[d * per : d * per + n]
         keep = (c >= abundance_min) & (c <= abundance_max)
-        parts_k.append(u[keep])
+        parts_k.append(u[:, keep])
         parts_c.append(c[keep])
     return parts_k, parts_c
 
@@ -162,11 +165,12 @@ def gather_solid(result: DistributedCountResult, abundance_min: int,
     """
     parts_k, parts_c = solid_per_device(result, abundance_min, abundance_max)
     uniq = np.asarray(result.unique)
-    solid = np.concatenate(parts_k) if parts_k else np.zeros((0, uniq.shape[1]), np.uint32)
+    solid = (np.concatenate(parts_k, axis=1) if parts_k
+             else np.zeros((uniq.shape[0], 0), np.uint32))
     counts = np.concatenate(parts_c) if parts_c else np.zeros((0,), np.int32)
     # global sort (lexicographic over lanes, most-significant first)
-    order = np.lexsort(tuple(solid[:, j] for j in range(solid.shape[1] - 1, -1, -1)))
-    return solid[order], counts[order]
+    order = np.lexsort(tuple(solid[j] for j in range(solid.shape[0] - 1, -1, -1)))
+    return solid[:, order], counts[order]
 
 
 def pack_global_blocks(seqs: Iterable[str], k: int, n_dev: int,
@@ -212,7 +216,7 @@ def distributed_build(seqs, cfg, mesh: Mesh):
             f"raise cap_per_dest (got {cap})"
         )
     per_s, per_c = solid_per_device(res, cfg.abundance_min, cfg.abundance_max)
-    n_solid = int(sum(s.shape[0] for s in per_s))
+    n_solid = int(sum(s.shape[1] for s in per_s))
     if n_solid == 0:
         return eng.UnitigSet(
             k=cfg.k, seqs=[], kc=np.zeros(0, np.int64), abundances=[],

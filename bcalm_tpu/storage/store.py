@@ -47,8 +47,8 @@ class Store:
             np.save(os.path.join(self.path, "histogram.npy"), histogram)
         manifest = {
             "k": k,
-            "n_solid": int(solid.shape[0]),
-            "lanes": int(solid.shape[1]) if solid.ndim == 2 else 1,
+            "n_solid": int(solid.shape[1]),
+            "lanes": int(solid.shape[0]),
             "config": config or {},
         }
         with open(os.path.join(self.path, MANIFEST), "w") as f:

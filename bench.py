@@ -52,14 +52,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # persistent compilation cache: TPU compiles here are remote and slow
-    # (minutes per new shape); cache makes repeat benches instant
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/btpu_jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from bcalm_tpu.utils.jaxcache import enable_cache
+
+    enable_cache()
 
     from bcalm_tpu import engine
     from bcalm_tpu.ops import chains as chains_op
@@ -89,9 +84,9 @@ def main():
     @jax.jit
     def extract_step(w, ln_):
         canon, valid = extract_op.extract_canonical(w, ln_, k)
-        L = canon.shape[-1]
+        L = canon.shape[0]
         return count_op.fold_sentinel(
-            canon.reshape(-1, L), valid.reshape(-1)
+            canon.reshape(L, -1), valid.reshape(-1)
         ), valid.reshape(-1)
 
     def count_step(w, ln_):
@@ -102,19 +97,25 @@ def main():
         )
         return unique, counts, n_unique, solid, scounts, n_solid
 
-    def timed(fn, args, sync, reps=3):
-        """Time fn honestly: a host readback of a data-dependent scalar is
-        inside the timed region (block_until_ready is unreliable over the
-        tunneled backend)."""
+    def timed(fn, args, sync, reps=4):
+        """Honest amortized timing: `reps` back-to-back dispatches with ONE
+        data-dependent scalar readback at the end; subtracts the single
+        dispatch+readback baseline.  (block_until_ready is unreliable over
+        the tunneled backend; a lone readback would add ~25ms tunnel
+        latency to every measurement.)"""
         out = fn(*args)
         sync(out)
-        times = []
+        t0 = time.time()
+        out = fn(*args)
+        sync(out)
+        t1 = time.time() - t0
+        t0 = time.time()
         for _ in range(reps):
-            t0 = time.time()
             out = fn(*args)
-            sync(out)
-            times.append(time.time() - t0)
-        return min(times), out
+        sync(out)
+        tn = time.time() - t0
+        est = (tn - t1) / (reps - 1) if reps > 1 else t1
+        return max(min(t1, est), 1e-9), out
 
     log("compiling count step ...")
     t0 = time.time()
@@ -132,12 +133,12 @@ def main():
 
     # compaction timing (junctions + chains) on padded solid capacity
     cap = engine._round_capacity(n_solid_i)
-    solid_c = solid[:cap]
+    solid_c = solid[:, :cap]
 
     @jax.jit
     def compact_step(sol, ns):
         succ, out_deg = junctions_op.successor_arrays(sol, ns, k)
-        C = sol.shape[0]
+        C = sol.shape[1]
         oid = jnp.arange(2 * C, dtype=jnp.int32)
         valid_oriented = jnp.where(oid >= C, oid - C, oid) < ns
         info = chains_op.chain_decompose(succ, valid_oriented)

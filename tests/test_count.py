@@ -20,18 +20,18 @@ def device_counts(seqs, k, max_len=128):
         canon, valid = extract.extract_canonical(
             jnp.asarray(block.words), jnp.asarray(block.lengths), k
         )
-        L = canon.shape[-1]
-        all_lanes.append(canon.reshape(-1, L))
+        L = canon.shape[0]
+        all_lanes.append(canon.reshape(L, -1))
         all_valid.append(valid.reshape(-1))
-    lanes = jnp.concatenate(all_lanes)
+    lanes = jnp.concatenate(all_lanes, axis=1)
     valid = jnp.concatenate(all_valid)
     unique, counts, n = cnt.count_canonical(lanes, valid)
     n = int(n)
     out = {}
-    u = np.asarray(unique)[:n]
+    u = np.asarray(unique)[:, :n]
     c = np.asarray(counts)[:n]
     for i in range(n):
-        out[ln.lanes_to_int(u[i])] = int(c[i])
+        out[ln.lanes_to_int(u[:, i])] = int(c[i])
     return unique, counts, n, out
 
 
@@ -53,8 +53,8 @@ def test_sorted_unique_output():
     rng = random.Random(7)
     reads = ["".join(rng.choice("ACGT") for _ in range(40)) for _ in range(30)]
     unique, counts, n, got = device_counts(reads, k)
-    u = np.asarray(unique)[:n]
-    vals = [ln.lanes_to_int(row) for row in u]
+    u = np.asarray(unique)[:, :n]
+    vals = [ln.lanes_to_int(u[:, i]) for i in range(n)]
     assert vals == sorted(vals)
     assert len(set(vals)) == len(vals)
 
@@ -70,9 +70,9 @@ def test_abundance_filter_and_histogram():
     solid, scounts, ns = cnt.filter_abundance(unique, counts, n, 2, 2**31 - 1)
     ns = int(ns)
     expect_solid = brute.solid_kmers(got, 2)
-    su = np.asarray(solid)[:ns]
+    su = np.asarray(solid)[:, :ns]
     sc = np.asarray(scounts)[:ns]
-    got_solid = {ln.lanes_to_int(su[i]): int(sc[i]) for i in range(ns)}
+    got_solid = {ln.lanes_to_int(su[:, i]): int(sc[i]) for i in range(ns)}
     assert got_solid == expect_solid
 
     histo = np.asarray(cnt.abundance_histogram(counts, jnp.asarray(n), histo_max=100))

@@ -27,7 +27,7 @@ def split_solid(solid, counts, n_dev):
     per_s, per_c = [], []
     for d in range(n_dev):
         m = owner == d
-        per_s.append(solid[m])
+        per_s.append(solid[:, m])
         per_c.append(counts[m])
     return per_s, per_c
 
@@ -44,7 +44,7 @@ def test_distributed_compact_matches(mesh, seed, k, amin):
 
     blocks = packing.iter_blocks(reads, k, block_reads=64, max_len=128)
     solid, counts, _, _ = engine.count_and_filter(blocks, cfg)
-    if solid.shape[0] == 0:
+    if solid.shape[1] == 0:
         pytest.skip("no solid kmers")
 
     per_s, per_c = split_solid(solid, counts, 8)

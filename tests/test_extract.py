@@ -40,7 +40,7 @@ def run_extract(seqs, k, max_len=64):
         for b in range(block.capacity):
             for p in range(valid.shape[1]):
                 if valid[b, p]:
-                    got.append(ln.lanes_to_int(canon[b, p]))
+                    got.append(ln.lanes_to_int(canon[:, b, p]))
     return got
 
 

@@ -19,17 +19,17 @@ def py_mmers(x: int, k: int, m: int):
 def test_extract_mmers(k, m):
     rng = random.Random(k * m)
     xs = [rng.getrandbits(2 * k) for _ in range(24)]
-    arr = jnp.asarray(np.stack([ln.int_to_lanes(x, k) for x in xs]))
+    arr = jnp.asarray(ln.ints_to_lanes(xs, k))
     got = np.asarray(mz.extract_mmers(arr, k, m))
     for i, x in enumerate(xs):
-        assert list(got[i]) == py_mmers(x, k, m)
+        assert list(got[:, i]) == py_mmers(x, k, m)
 
 
 def test_lexicographic_minimizer():
     k, m = 21, 5
     rng = random.Random(3)
     xs = [rng.getrandbits(2 * k) for _ in range(50)]
-    arr = jnp.asarray(np.stack([ln.int_to_lanes(x, k) for x in xs]))
+    arr = jnp.asarray(ln.ints_to_lanes(xs, k))
     got = np.asarray(mz.minimizers(arr, k, m))
     for i, x in enumerate(xs):
         assert got[i] == min(py_mmers(x, k, m))
@@ -39,7 +39,7 @@ def test_frequency_minimizer():
     k, m = 13, 3
     rng = random.Random(5)
     xs = [rng.getrandbits(2 * k) for _ in range(200)]
-    arr = jnp.asarray(np.stack([ln.int_to_lanes(x, k) for x in xs]))
+    arr = jnp.asarray(ln.ints_to_lanes(xs, k))
     valid = jnp.ones((len(xs),), bool)
     histo = np.asarray(mz.mmer_histogram(arr, valid, k, m))
     # histogram matches python
@@ -73,7 +73,7 @@ def test_partition_of_deterministic():
     k, m = 21, 5
     rng = random.Random(11)
     xs = [rng.getrandbits(2 * k) for _ in range(64)]
-    arr = jnp.asarray(np.stack([ln.int_to_lanes(x, k) for x in xs]))
+    arr = jnp.asarray(ln.ints_to_lanes(xs, k))
     table = jnp.asarray(np.arange(4 ** m, dtype=np.int32) % 8)
     p1 = np.asarray(mz.partition_of(arr, k, m, table))
     p2 = np.asarray(mz.partition_of(arr, k, m, table))

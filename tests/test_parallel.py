@@ -57,6 +57,6 @@ def test_distributed_counts_vs_oracle(mesh):
     solid, counts = pipeline.gather_solid(res, 1, 2**31 - 1)
     from bcalm_tpu.models import lanes as ln
 
-    got = {ln.lanes_to_int(solid[i]): int(counts[i])
-           for i in range(solid.shape[0])}
+    got = {ln.lanes_to_int(solid[:, i]): int(counts[i])
+           for i in range(solid.shape[1])}
     assert got == brute.count_kmers(reads, k)

@@ -209,9 +209,19 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 1
         bank = bank_mod.Bank.open(in_path)
         with ti.timer("count"):
-            blocks = _input_blocks(bank, cfg, verbose,
-                                   nb_cores=props.get_int("-nb-cores"))
-            solid, counts, histo, stats = engine.count_and_filter(blocks, cfg)
+            from bcalm_tpu.utils.logging import Progress
+
+            progress = Progress("reads packed", enabled=verbose >= 1)
+
+            def counted_blocks():
+                for b in _input_blocks(bank, cfg, verbose,
+                                       nb_cores=props.get_int("-nb-cores")):
+                    progress.update(int((b.lengths > 0).sum()))
+                    yield b
+                progress.done()
+
+            solid, counts, histo, stats = engine.count_and_filter(
+                counted_blocks(), cfg)
         with ti.timer("store"):
             store.write_counts(solid, counts, k, histogram=histo,
                                config={"abundance_min": cfg.abundance_min})

@@ -93,6 +93,35 @@ def _round_capacity(n: int) -> int:
     return c
 
 
+from functools import partial as _partial
+
+
+@jax.jit
+def _refold_tail(unique, n_u):
+    """Re-sentinel columns at index >= n_u (compact() zero-fills them)."""
+    idx = jnp.arange(unique.shape[1], dtype=jnp.int32)
+    return jnp.where((idx < n_u)[None], unique, count_op.SENTINEL)
+
+
+@jax.jit
+def _chunk_insert(buf, piece, offset):
+    """Write a fixed-size folded block into the chunk buffer at a traced
+    offset (single compiled shape regardless of fill level)."""
+    return jax.lax.dynamic_update_slice(buf, piece, (0, offset))
+
+
+@_partial(jax.jit, static_argnames=("k",))
+def _extract_fold(words, lengths, k):
+    """One-jit per-block frontend: extract + canonicalize + sentinel-fold.
+
+    Keeping this a single compiled call matters: eager per-op dispatch over
+    the tunneled TPU backend costs ~ms per primitive."""
+    canon, valid = extract_op.extract_canonical(words, lengths, k)
+    L = canon.shape[0]
+    folded = count_op.fold_sentinel(canon.reshape(L, -1), valid.reshape(-1))
+    return folded, jnp.sum(valid.astype(jnp.int32))
+
+
 def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
     """Extract + count canonical k-mers over all blocks, chunked.
 
@@ -106,50 +135,61 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
     compacted to the front.
     """
     L = ln.num_lanes(cfg.k)
-    chunk: List[jnp.ndarray] = []     # folded (sentinel-carrying) lane arrays
+    chunk_buf = None   # (L, chunk_cap) device buffer, sentinel-filled
+    chunk_cap = None   # chunk_kmers rounded UP to a multiple of block size
     chunk_fill = 0
     partials = []                     # (unique, counts, n) per flushed chunk
     n_reads = 0
     n_bases = 0
     n_occ = 0
 
+    def trim(unique, counts, n_u):
+        """Slice a distinct run to a POWER-OF-2 capacity (bounded compile
+        shapes — a :n_u slice would compile per distinct count) and refill
+        the tail with the sentinel so downstream validity tests hold."""
+        cap = _round_capacity(max(1, n_u))
+        u = _refold_tail(unique[:, :cap], jnp.asarray(n_u, jnp.int32))
+        return u, counts[:cap], n_u
+
+    def fresh_buf():
+        return jnp.full((L, chunk_cap), count_op.SENTINEL, jnp.uint32)
+
     def flush():
-        nonlocal chunk, chunk_fill
-        if not chunk:
+        nonlocal chunk_buf, chunk_fill
+        if chunk_fill == 0:
             return
-        lanes = jnp.concatenate(chunk, axis=1) if len(chunk) > 1 else chunk[0]
-        pad = cfg.chunk_kmers - lanes.shape[1]
-        if pad > 0:
-            lanes = jnp.concatenate(
-                [lanes, jnp.full((L, pad), count_op.SENTINEL, jnp.uint32)],
-                axis=1,
-            )
-        valid = ~jnp.all(lanes == count_op.SENTINEL, axis=0)
-        unique, counts, n_unique = count_op.count_canonical(lanes, valid)
-        n_u = int(n_unique)
-        partials.append((unique[:, :n_u], counts[:n_u], n_u))
-        chunk = []
+        valid = ~jnp.all(chunk_buf == count_op.SENTINEL, axis=0)
+        unique, counts, n_unique = count_op.count_canonical(chunk_buf, valid)
+        partials.append(trim(unique, counts, int(n_unique)))
+        chunk_buf = fresh_buf()
         chunk_fill = 0
 
     for block in blocks:
-        canon, valid = extract_op.extract_canonical(
+        folded, _ = _extract_fold(
             jnp.asarray(block.words), jnp.asarray(block.lengths), cfg.k
         )
-        folded = count_op.fold_sentinel(
-            canon.reshape(L, -1), valid.reshape(-1)
-        )
-        n_reads += int((block.lengths > 0).sum())
-        n_bases += int(block.lengths.sum())
-        n_occ += int(valid.sum())
-        pos = 0
-        flat = folded.shape[1]
-        while pos < flat:
-            take = min(flat - pos, cfg.chunk_kmers - chunk_fill)
-            chunk.append(folded[:, pos : pos + take])
-            chunk_fill += take
-            pos += take
-            if chunk_fill >= cfg.chunk_kmers:
-                flush()
+        F = folded.shape[1]
+        if chunk_buf is None:
+            # chunk capacity = multiple of the (fixed) block folded size, so
+            # every insert is one dynamic_update_slice of one static shape
+            chunk_cap = max(1, -(-cfg.chunk_kmers // F)) * F
+            chunk_buf = fresh_buf()
+        if chunk_fill + F > chunk_cap:
+            flush()
+        if F > chunk_cap:
+            raise ValueError(
+                f"block folded size {F} exceeds chunk capacity {chunk_cap}; "
+                f"raise chunk_kmers or lower block_reads/max_len"
+            )
+        lens = block.lengths.astype(np.int64)
+        n_reads += int((lens > 0).sum())
+        n_bases += int(lens.sum())
+        n_occ += int(np.maximum(0, lens - cfg.k + 1).sum())
+        chunk_buf = _chunk_insert(chunk_buf, folded,
+                                  jnp.asarray(chunk_fill, jnp.int32))
+        chunk_fill += F
+        if chunk_fill >= chunk_cap:
+            flush()
     flush()
 
     stats = {"reads": n_reads, "bases": n_bases, "kmer_occurrences": n_occ}
@@ -188,8 +228,7 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         unique, counts, n_unique = count_op.count_canonical(
             lanes, valid, weights=weights, weighted=True
         )
-        n_u = int(n_unique)
-        merged = (unique[:, :n_u], counts[:n_u], n_u)
+        merged = trim(unique, counts, int(n_unique))
         partials = rest + [merged] if rest else [merged]
         if not rest:
             break
@@ -314,10 +353,39 @@ def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
 
 
 def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig) -> UnitigSet:
-    solid_np, counts_np, histo, stats = count_and_filter(blocks, cfg)
-    us = compact_from_counts(solid_np, counts_np, cfg)
-    us.histogram = histo
-    us.stats.update(stats)
+    """Device-resident end-to-end build (no host round-trip of the solid
+    set between counting and compaction)."""
+    unique, counts, n_unique, stats = count_blocks(blocks, cfg)
+    n_u = int(n_unique)
+    cap = _round_capacity(max(1, n_u))
+    unique = unique[:, :cap]
+    counts = counts[:cap]
+    histo = np.asarray(
+        count_op.abundance_histogram(counts, jnp.asarray(n_u),
+                                     histo_max=cfg.histo_max)
+    )
+    solid, solid_counts, n_solid_dev = count_op.filter_abundance(
+        unique, counts, jnp.asarray(n_u), cfg.abundance_min, cfg.abundance_max
+    )
+    n_solid = int(n_solid_dev)
+    stats["distinct_kmers"] = n_u
+    stats["solid_kmers"] = n_solid
+    if n_solid == 0:
+        return UnitigSet(
+            k=cfg.k, seqs=[], kc=np.zeros(0, np.int64), abundances=[],
+            circular=np.zeros(0, bool), links=[], histogram=histo, stats=stats,
+        )
+    cap2 = _round_capacity(n_solid)
+    solid_c = solid[:, :cap2]
+    counts_c = solid_counts[:cap2]
+    succ, out_deg, info = compact_solid(solid_c, counts_c, n_solid, cfg.k)
+    seqs, kc, abund, circular = assemble_unitigs(solid_c, counts_c, info, cfg.k)
+    links = link_join(seqs, cfg.k)
+    stats["unitigs"] = len(seqs)
+    us = UnitigSet(
+        k=cfg.k, seqs=seqs, kc=kc, abundances=abund, circular=circular,
+        links=links, histogram=histo, stats=stats,
+    )
     return us
 
 

@@ -160,6 +160,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(parser.usage())
         return 0
 
+    # backend override (the axon sitecustomize force-sets JAX_PLATFORMS,
+    # so a plain env var would be ignored; re-force through jax.config)
+    plat = os.environ.get("BCALM_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     from bcalm_tpu import engine
     from bcalm_tpu.io import bank as bank_mod
     from bcalm_tpu.io import fasta_writer, packing
@@ -196,7 +204,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 solid, counts = store.read_counts(k)
             histo = store.read_histogram()
             if verbose:
-                print(f"reusing stored counts: {solid.shape[0]} solid k-mers "
+                print(f"reusing stored counts: {solid.shape[1]} solid k-mers "
                       f"({store.path})")
         except ValueError as e:
             if verbose:

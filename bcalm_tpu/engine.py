@@ -139,6 +139,7 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
     chunk_cap = None   # chunk_kmers rounded UP to a multiple of block size
     chunk_fill = 0
     partials = []                     # (unique, counts, n) per flushed chunk
+    pending = None                    # last chunk's (unique, counts, n_dev)
     n_reads = 0
     n_bases = 0
     n_occ = 0
@@ -154,13 +155,26 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
     def fresh_buf():
         return jnp.full((L, chunk_cap), count_op.SENTINEL, jnp.uint32)
 
+    def settle_pending():
+        """Materialize the PREVIOUS chunk's distinct count and trim it.
+
+        Lagged by one chunk so the n_unique fetch (a host<->device sync)
+        overlaps with the next chunk's queued device work instead of
+        stalling the pipeline after every chunk."""
+        nonlocal pending
+        if pending is not None:
+            unique, counts, n_dev = pending
+            partials.append(trim(unique, counts, int(n_dev)))
+            pending = None
+
     def flush():
-        nonlocal chunk_buf, chunk_fill
+        nonlocal chunk_buf, chunk_fill, pending
         if chunk_fill == 0:
             return
         valid = ~jnp.all(chunk_buf == count_op.SENTINEL, axis=0)
         unique, counts, n_unique = count_op.count_canonical(chunk_buf, valid)
-        partials.append(trim(unique, counts, int(n_unique)))
+        settle_pending()
+        pending = (unique, counts, n_unique)
         chunk_buf = fresh_buf()
         chunk_fill = 0
 
@@ -191,6 +205,7 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         if chunk_fill >= chunk_cap:
             flush()
     flush()
+    settle_pending()
 
     stats = {"reads": n_reads, "bases": n_bases, "kmer_occurrences": n_occ}
     if not partials:
@@ -248,13 +263,30 @@ def compact_solid(solid: jnp.ndarray, counts: jnp.ndarray, n_solid: int, k: int)
     return succ, out_deg, info
 
 
+def _decode_kmers_np(lanes_np: np.ndarray, k: int) -> np.ndarray:
+    """(L, U) uint32 big-endian packed k-mers -> (U, k) uint8 base codes."""
+    L, U = lanes_np.shape
+    r = ln.top_lane_bases(k)
+    out = np.empty((U, k), dtype=np.uint8)
+    for j in range(k):
+        if j < r:
+            lane, shift = 0, 2 * (r - 1 - j)
+        else:
+            t = j - r
+            lane, shift = 1 + t // 16, 2 * (15 - t % 16)
+        out[:, j] = (lanes_np[lane] >> np.uint32(shift)) & 3
+    return out
+
+
 def assemble_unitigs(
     solid: jnp.ndarray,
     counts: jnp.ndarray,
     info: dict,
     k: int,
 ) -> Tuple[List[str], np.ndarray, List[np.ndarray], np.ndarray]:
-    """Host-side spelling of unitigs from chain assignments.
+    """Host-side spelling of unitigs from chain assignments (vectorized:
+    one flat base-code array is built with numpy scatters — no per-unitig
+    python loop except the final string slicing).
 
     Returns (seqs, kc, abundance_vectors, circular).
     """
@@ -262,12 +294,15 @@ def assemble_unitigs(
     uid = np.asarray(info["uid"])
     rank = np.asarray(info["rank"])
     n_unitigs = int(info["n_unitigs"])
-    length = np.asarray(info["length"])[:n_unitigs]
+    length = np.asarray(info["length"])[:n_unitigs].astype(np.int64)
     start_oid = np.asarray(info["start_oid"])[:n_unitigs]
     circular = np.asarray(info["circular"])[:n_unitigs]
 
     solid_np = np.asarray(solid)
     counts_np = np.asarray(counts)
+
+    if n_unitigs == 0:
+        return [], np.zeros(0, np.int64), [], circular
 
     member = uid >= 0
     m_uid = uid[member]
@@ -288,39 +323,110 @@ def assemble_unitigs(
     ).astype(np.uint8)
     m_count = counts_np[m_vertex]
 
-    offsets = np.concatenate([[0], np.cumsum(length)])
-    seqs: List[str] = []
-    abund: List[np.ndarray] = []
-    for u in range(n_unitigs):
-        a, b = offsets[u], offsets[u + 1]
-        v0 = start_oid[u]
-        vert0 = v0 - C if v0 >= C else v0
-        first = ln.lanes_to_int(solid_np[:, vert0])
-        s0 = ln.int_to_string(first, k)
-        if v0 >= C:
-            s0 = dna.revcomp(s0)
-        tail = dna.codes_to_str(last_b[a + 1 : b]) if b - a > 1 else ""
-        seqs.append(s0 + tail)
-        abund.append(m_count[a:b].copy())
-    kc = np.array([int(a.sum()) for a in abund], dtype=np.int64)
+    # flat code array: unitig u spells k + length[u] - 1 bases
+    seq_len = length + (k - 1)
+    offsets = np.concatenate([[0], np.cumsum(seq_len)])
+    total = int(offsets[-1])
+    codes = np.empty(total, dtype=np.uint8)
+
+    # every member writes the last base of its oriented k-mer
+    run_bounds = np.concatenate([[0], np.cumsum(length)])
+    codes[offsets[m_uid] + (k - 1) + m_rank] = last_b
+
+    # each unitig's start k-mer writes its full spelling
+    v0 = start_oid
+    vert0 = np.where(v0 >= C, v0 - C, v0)
+    start_codes = _decode_kmers_np(solid_np[:, vert0], k)
+    rev = v0 >= C
+    if rev.any():
+        start_codes[rev] = (start_codes[rev] ^ 2)[:, ::-1]
+    pos = offsets[:-1, None] + np.arange(k)[None, :]
+    codes[pos.reshape(-1)] = start_codes.reshape(-1)
+
+    ascii_all = dna.CODE_TO_ASCII[codes].tobytes()
+    seqs = [
+        ascii_all[offsets[u]: offsets[u + 1]].decode()
+        for u in range(n_unitigs)
+    ]
+    kc = np.add.reduceat(m_count.astype(np.int64), run_bounds[:-1])
+    abund = np.split(m_count, run_bounds[1:-1])
     return seqs, kc, abund, circular
+
+
+def _pack_ends(codes: np.ndarray) -> np.ndarray:
+    """(E, k-1) uint8 base codes -> (E, W) uint64 packed key columns."""
+    E, m = codes.shape
+    W = max(1, (m + 31) // 32)
+    out = np.zeros((E, W), dtype=np.uint64)
+    for j in range(m):
+        out[:, j // 32] |= codes[:, j].astype(np.uint64) << np.uint64(
+            2 * (31 - j % 32)
+        )
+    return out
 
 
 def link_join(seqs: List[str], k: int) -> List[Tuple[int, str, int, str]]:
     """All (k-1)-overlap links between unitig extremities (LinkTigs analog,
     gatb debruijn/impl/LinkTigs — reconstructed; output grammar
     /root/reference/README.md:72, all mirror edges recorded per
-    bidirected-graphs-in-bcalm2.md:101)."""
-    prefix_map: Dict[str, List[Tuple[int, str]]] = {}
-    for i, s in enumerate(seqs):
-        for sign, t in (("+", s), ("-", dna.revcomp(s))):
-            prefix_map.setdefault(t[: k - 1], []).append((i, sign))
-    links = set()
-    for i, s in enumerate(seqs):
-        for sign, t in (("+", s), ("-", dna.revcomp(s))):
-            for (j, q) in prefix_map.get(t[-(k - 1):], []):
-                links.add((i, sign, j, q))
-    return sorted(links)
+    bidirected-graphs-in-bcalm2.md:101).
+
+    Vectorized sort-join: the 4U extremity (k-1)-mers (prefix/suffix x
+    orientation) are packed into integer key columns; out-ends and in-ends
+    sharing a key produce the links via grouped cross products.
+    """
+    U = len(seqs)
+    if U == 0:
+        return []
+    m = k - 1
+    # prefix/suffix code matrices from one flat encode
+    lut = np.zeros(256, dtype=np.uint8)
+    lut[np.frombuffer(b"ACTG", np.uint8)] = np.arange(4, dtype=np.uint8)
+    lut[np.frombuffer(b"actg", np.uint8)] = np.arange(4, dtype=np.uint8)
+    pre_bytes = b"".join(s[:m].encode() for s in seqs)
+    suf_bytes = b"".join(s[-m:].encode() for s in seqs)
+    pre = lut[np.frombuffer(pre_bytes, np.uint8)].reshape(U, m)
+    suf = lut[np.frombuffer(suf_bytes, np.uint8)].reshape(U, m)
+    rc_pre = (pre ^ 2)[:, ::-1]
+    rc_suf = (suf ^ 2)[:, ::-1]
+
+    # out-ends: (i,+) -> suf, (i,-) -> rc(pre); in-ends: (i,+) -> pre,
+    # (i,-) -> rc(suf)
+    out_keys = _pack_ends(np.concatenate([suf, rc_pre]))
+    in_keys = _pack_ends(np.concatenate([pre, rc_suf]))
+    all_keys = np.concatenate([out_keys, in_keys])
+    _, gid = np.unique(all_keys, axis=0, return_inverse=True)
+    gid = gid.reshape(-1)
+    g_out, g_in = gid[: 2 * U], gid[2 * U:]
+
+    n_groups = int(gid.max()) + 1
+    ci = np.bincount(g_in, minlength=n_groups)
+
+    # entries sorted by group
+    o_order = np.argsort(g_out, kind="stable")
+    i_order = np.argsort(g_in, kind="stable")
+    g_out_s = g_out[o_order]
+    in_start = np.concatenate([[0], np.cumsum(ci)])
+
+    rep = ci[g_out_s]                      # pairs contributed by each out-end
+    P = int(rep.sum())
+    if P == 0:
+        return []
+    out_rep = np.repeat(o_order, rep)
+    g_rep = np.repeat(g_out_s, rep)
+    first_slot = np.concatenate([[0], np.cumsum(rep)])[:-1]
+    within = np.arange(P) - np.repeat(first_slot, rep)
+    in_rep = i_order[in_start[g_rep] + within]
+
+    src_id = (out_rep % U).astype(np.int64)
+    src_sign = np.where(out_rep < U, "+", "-")
+    dst_id = (in_rep % U).astype(np.int64)
+    dst_sign = np.where(in_rep < U, "+", "-")
+    order = np.lexsort((dst_sign, dst_id, src_sign, src_id))
+    return [
+        (int(src_id[t]), str(src_sign[t]), int(dst_id[t]), str(dst_sign[t]))
+        for t in order
+    ]
 
 
 def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
@@ -392,28 +498,25 @@ def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig) ->
 def count_and_filter(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig):
     """Counting phase -> host arrays (for storage/checkpoint + compaction).
 
-    Returns (solid_np (n,L) uint32, counts_np (n,) int32, histogram, stats).
-    The distinct set is re-sliced to a small capacity before the solidity
-    filter/histogram so those ops don't run at occurrence scale.
+    Returns (solid_np (L,n) uint32, counts_np (n,) int32, histogram, stats).
+    The distinct run is trimmed on device, then fetched ONCE; the solidity
+    filter and abundance histogram run in numpy — the distinct set is
+    leaving the device here anyway (storage/checkpoint), and host masking
+    is far cheaper than device scatter-compaction + a second transfer.
     """
     unique, counts, n_unique, stats = count_blocks(blocks, cfg)
     n_u = int(n_unique)
     cap = _round_capacity(max(1, n_u))
-    unique = unique[:, :cap]
-    counts = counts[:cap]
-    histo = np.asarray(
-        count_op.abundance_histogram(counts, jnp.asarray(n_u),
-                                     histo_max=cfg.histo_max)
-    )
-    solid, solid_counts, n_solid = count_op.filter_abundance(
-        unique, counts, jnp.asarray(n_u), cfg.abundance_min, cfg.abundance_max
-    )
-    n_solid = int(n_solid)
+    unique_np = np.asarray(unique[:, :cap])[:, :n_u]
+    counts_np = np.asarray(counts[:cap])[:n_u]
+    binned = np.minimum(counts_np, cfg.histo_max)
+    histo = np.bincount(binned, minlength=cfg.histo_max + 1).astype(np.int32)
+    keep = (counts_np >= cfg.abundance_min) & (counts_np <= cfg.abundance_max)
+    solid_np = unique_np[:, keep]
+    solid_counts_np = counts_np[keep]
     stats["distinct_kmers"] = n_u
-    stats["solid_kmers"] = n_solid
-    solid_np = np.asarray(solid)[:, :n_solid]
-    counts_np = np.asarray(solid_counts)[:n_solid]
-    return solid_np, counts_np, histo, stats
+    stats["solid_kmers"] = int(solid_np.shape[1])
+    return solid_np, solid_counts_np, histo, stats
 
 
 def build_from_seqs(seqs: Iterable[str], cfg: EngineConfig) -> UnitigSet:

@@ -5,21 +5,37 @@ bcalm2/bglue_algo.cpp: MPHF + concurrent union-find + per-class chain
 walking — reconstructed, SURVEY.md §4.4) and for its sequential bucket
 chain-walking.  The successor array from ops.junctions defines a
 mirror-symmetric functional graph of paths and cycles over the 2N oriented
-nodes; unitigs are recovered with pointer doubling:
+nodes; unitigs are recovered with ONE fused pointer-doubling loop.
 
-1. build predecessor pointers,
-2. cycle detection + min-id propagation to break each cycle at its minimal
-   oriented node (this is what makes circular unitigs come out as a single
-   contig — the reference's example/circular_unitigs_unittests behavior),
-3. jump/rank doubling to give every oriented node its chain start + rank,
-4. mirror deduplication: every unitig appears as a chain and its mirror
-   chain (bidirected-graphs-in-bcalm2.md:79); keep the one whose start has
-   the smaller oriented id (deterministic, unlike the reference —
-   README.md:87 documents its orientation instability).
+Fused state per oriented node v (all propagated along predecessor jumps):
 
-Doubling loops run under lax.while_loop with convergence tests, so the
-round count adapts to the LONGEST CHAIN (typically tens of k-mers), not to
-log2(N) — chains stay jittable while avoiding wasted doubling rounds.
+  ptr  — current ancestor (doubles every round; fixes at the chain start)
+  dist — #pred-steps from v to ptr (saturates at the path rank)
+  mn   — minimal oriented id among {v} ∪ visited ancestors
+  dmn  — #pred-steps from v back to mn
+  mmn  — minimal MIRROR id among the same set
+
+After convergence:
+  * path nodes:  ptr = chain start, dist = rank.
+  * cycle nodes: ancestors cover the whole cycle, so mn = the cycle's
+    minimal node b (the deterministic break point — circular unitigs come
+    out as one contig, the behavior example/circular_unitigs_unittests
+    asks for), and because pred is the inverse of succ, dmn (backward
+    steps to b) equals the FORWARD rank from b.  No separate cycle-break
+    or re-ranking pass is needed.
+
+Mirror deduplication: every unitig appears as a chain and its mirror
+chain (bidirected-graphs-in-bcalm2.md:79); keep the one whose start has
+the smaller oriented id (deterministic, unlike the reference —
+README.md:87 documents its orientation instability).
+
+Performance: each round gathers the packed (M, 8) int32 state with ONE
+row gather (32-byte aligned rows) instead of six scalar gathers — TPU
+gathers are index-latency-bound, so packing the state is ~5x cheaper
+than separate gathers, and the single fused loop replaces the previous
+three (cycle detect / min propagate / rank) loops.  Rounds run under
+lax.while_loop with a convergence test, so the count adapts to the
+longest chain rather than log2(N) when there are no cycles.
 """
 
 from __future__ import annotations
@@ -30,6 +46,10 @@ import jax.numpy as jnp
 
 from bcalm_tpu.ops.count import compact
 
+# packed state columns
+_PTR, _DIST, _MN, _DMN, _MMN = 0, 1, 2, 3, 4
+_COLS = 8  # padded to 32-byte rows for aligned row gathers
+
 
 def _mirror(x: jnp.ndarray, N: int) -> jnp.ndarray:
     return jnp.where(x >= N, x - N, x + N)
@@ -38,28 +58,9 @@ def _mirror(x: jnp.ndarray, N: int) -> jnp.ndarray:
 def _max_rounds(M: int) -> int:
     """Doubling rounds that cover any chain/cycle length (window 2^t >= M).
 
-    The iteration CAP is load-bearing: on a cycle, jump[jump] never reaches
-    a fixpoint, so convergence alone would spin forever."""
+    The iteration CAP is load-bearing: on a cycle, ptr never reaches a
+    fixpoint, so convergence alone would spin forever."""
     return max(1, int(np.ceil(np.log2(max(M, 2)))) + 1)
-
-
-def _converge_jump(jump):
-    """jump[v] <- jump[jump[v]] until fixpoint or round cap."""
-    R = _max_rounds(jump.shape[0])
-
-    def cond(state):
-        jump, changed, t = state
-        return changed & (t < R)
-
-    def body(state):
-        jump, _, t = state
-        jump2 = jump[jump]
-        return jump2, jnp.any(jump2 != jump), t + 1
-
-    jump, _, _ = jax.lax.while_loop(
-        cond, body, (jump, jnp.asarray(True), jnp.asarray(0))
-    )
-    return jump
 
 
 @jax.jit
@@ -91,59 +92,62 @@ def chain_decompose(succ: jnp.ndarray, valid: jnp.ndarray):
         jnp.where(succ >= 0, idx, -1), mode="drop"
     )
 
-    # --- cycle detection: follow pred to a start; cycles never reach one
-    jump0 = jnp.where(pred >= 0, pred, idx)
-    jump = _converge_jump(jump0)
-    in_cycle = valid & (pred[jump] >= 0)
+    has_pred = pred >= 0
+    state0 = jnp.zeros((M, _COLS), dtype=jnp.int32)
+    state0 = state0.at[:, _PTR].set(jnp.where(has_pred, pred, idx))
+    state0 = state0.at[:, _DIST].set(has_pred.astype(jnp.int32))
+    state0 = state0.at[:, _MN].set(jnp.where(valid, idx, M))
+    # dmn starts at 0 (mn = self)
+    state0 = state0.at[:, _MMN].set(jnp.where(valid, _mirror(idx, N), M))
 
-    # --- break each cycle at its minimal oriented node; propagate the
-    # mirror cycle's min as well (the mirror chain's future start)
     R = _max_rounds(M)
 
-    def min_cond(state):
-        mn, mmn, ptr, changed, t = state
+    def cond(carry):
+        state, changed, t = carry
         return changed & (t < R)
 
-    def min_body(state):
-        mn, mmn, ptr, _, t = state
-        mn2 = jnp.minimum(mn, mn[ptr])
-        mmn2 = jnp.minimum(mmn, mmn[ptr])
-        ptr2 = ptr[ptr]
-        changed = jnp.any(mn2 != mn) | jnp.any(mmn2 != mmn)
-        return mn2, mmn2, ptr2, changed, t + 1
+    def body(carry):
+        state, _, t = carry
+        anc = jnp.take(state, state[:, _PTR], axis=0)  # one row gather
+        dist = state[:, _DIST]
+        mn = state[:, _MN]
+        better = anc[:, _MN] < mn
+        new = jnp.stack(
+            [
+                anc[:, _PTR],
+                dist + anc[:, _DIST],
+                jnp.minimum(mn, anc[:, _MN]),
+                jnp.where(better, dist + anc[:, _DMN], state[:, _DMN]),
+                jnp.minimum(state[:, _MMN], anc[:, _MMN]),
+            ],
+            axis=1,
+        )
+        # convergence on (ptr, mn, dmn, mmn): for paths all four settle at
+        # coverage; cycles run to the cap R (ptr keeps orbiting)
+        changed = jnp.any(new != state[:, :_MMN + 1])
+        state = state.at[:, :_MMN + 1].set(new)
+        return state, changed, t + 1
 
-    mn0 = jnp.where(in_cycle, idx, jnp.int32(M))
-    mmn0 = jnp.where(in_cycle, _mirror(idx, N), jnp.int32(M))
-    ptr0 = jnp.where(pred >= 0, pred, idx)
-    mn, mmn, _, _, _ = jax.lax.while_loop(
-        min_cond, min_body, (mn0, mmn0, ptr0, jnp.asarray(True), jnp.asarray(0))
+    state, _, _ = jax.lax.while_loop(
+        cond, body, (state0, jnp.asarray(True), jnp.asarray(0))
     )
-    break_node = in_cycle & (mn == idx)  # chain start of its cycle
-    cut_from = jnp.where(break_node, pred, -1)
-    succ2 = succ.at[jnp.where(break_node, cut_from, M)].set(-1, mode="drop")
-    pred2 = jnp.where(break_node, -1, pred)
+    ptr = state[:, _PTR]
+    dist = state[:, _DIST]
+    mn = state[:, _MN]
+    dmn = state[:, _DMN]
+    mmn = state[:, _MMN]
 
-    # --- start/rank doubling on the acyclic pred graph
-    def rank_cond(state):
-        jump, rank, changed, t = state
-        return changed & (t < R)
+    # a path node's ptr settles at a start (pred = -1); cycle nodes never do
+    in_cycle = valid & (pred[ptr] >= 0)
+    break_node = in_cycle & (mn == idx)
 
-    def rank_body(state):
-        jump, rank, _, t = state
-        rank2 = rank + rank[jump]
-        jump2 = jump[jump]
-        return jump2, rank2, jnp.any(jump2 != jump), t + 1
+    start = jnp.where(in_cycle, mn, ptr)
+    rank = jnp.where(in_cycle, dmn, dist)
 
-    jump0 = jnp.where(pred2 >= 0, pred2, idx)
-    rank0 = jnp.where(pred2 >= 0, 1, 0).astype(jnp.int32)
-    start, rank, _, _ = jax.lax.while_loop(
-        rank_cond, rank_body, (jump0, rank0, jnp.asarray(True), jnp.asarray(0))
-    )
-
-    is_start = valid & (pred2 == -1)
-
-    # chain terminal (succ2 == -1) per start; unique per chain
-    is_end = valid & (succ2 == -1)
+    is_start = valid & (~has_pred | break_node)
+    # chain terminal: no successor, or (broken cycle) the node feeding the
+    # break node
+    is_end = valid & ((succ < 0) | (in_cycle & (succ == mn)))
     end_of = jnp.full((M,), -1, dtype=jnp.int32)
     end_of = end_of.at[jnp.where(is_end, start, M)].set(
         jnp.where(is_end, idx, -1), mode="drop"

@@ -90,6 +90,15 @@ def count_canonical(lanes: jnp.ndarray, valid: jnp.ndarray, weights=None,
       unique: (L, N) unique k-mers compacted to the front, sorted ascending
       counts: (N,) int32 occurrence counts aligned with `unique`
       n_unique: () int32
+
+    Implementation note (TPU scatters are index-rate-bound, ~50M idx/s):
+    per-group counts come from prefix-sum arithmetic — a scatter-MAX of
+    the inclusive weight cumsum with MONOTONE destinations lands each
+    group's end-cumsum at its compacted slot, and adjacent differences
+    recover the group sums; no segment_sum.  The compaction scatters also
+    use monotone destinations (duplicate destinations write identical
+    values), preserving the sorted-indices fast path.  Total cost: one
+    L-key sort + 1 cumsum + (L+1) sorted scatters.
     """
     L, N = lanes.shape
     folded = fold_sentinel(lanes, valid)
@@ -101,17 +110,26 @@ def count_canonical(lanes: jnp.ndarray, valid: jnp.ndarray, weights=None,
     s_valid = ~jnp.all(s_lanes == SENTINEL, axis=0)
     starts = row_starts(s_lanes, s_valid)
     gid = jnp.cumsum(starts.astype(jnp.int32)) - 1
-    gid = jnp.where(s_valid, gid, N - 1)
+
     w = out[L] if weighted else s_valid.astype(jnp.int32)
     w = jnp.where(s_valid, w, 0)
-    counts = jax.ops.segment_sum(
-        w, gid, num_segments=N, indices_are_sorted=True
-    ).astype(jnp.int32)
-    # group id == compaction destination: per-lane scatters compact the keys
-    dest = jnp.where(starts, gid, N)
+    cumw = jnp.cumsum(w)
+
+    # compaction: dest is non-decreasing (gid, with the sentinel tail
+    # dropped past the end); every position of a run writes the same value
+    dest = jnp.where(s_valid, gid, N)
     unique = jnp.zeros_like(s_lanes)
     for j in range(L):
-        unique = unique.at[j, dest].set(s_lanes[j], mode="drop")
+        unique = unique.at[j, dest].set(
+            s_lanes[j], mode="drop", indices_are_sorted=True
+        )
+    # group sum = cumw at group end - cumw at previous group end; the
+    # scatter-max deposits each group's end-cumsum at its compacted slot
+    ends_cum = jnp.zeros((N,), jnp.int32).at[dest].max(
+        cumw, mode="drop", indices_are_sorted=True
+    )
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends_cum[:-1]])
+    counts = jnp.maximum(ends_cum - prev, 0)
     n_unique = jnp.sum(starts.astype(jnp.int32))
     return unique, counts, n_unique
 

@@ -72,6 +72,12 @@ def make_blocks(words, read_len, block_reads):
 def main():
     import jax
 
+    # the axon sitecustomize force-overrides JAX_PLATFORMS; BENCH_PLATFORM
+    # re-forces a backend (e.g. cpu for local smoke tests)
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     from bcalm_tpu.utils.jaxcache import enable_cache
 
     enable_cache()
@@ -96,34 +102,48 @@ def main():
     n_occ = int(reads.shape[0] * (read_len - k + 1))
     log(f"{reads.shape[0]} reads in {len(blocks)} blocks, {n_occ} k-mer occ")
 
+    import jax.numpy as jnp
+
+    from bcalm_tpu.ops import count as count_op
+
+    def count_device(blocks_iter):
+        """Full chunked counting + solidity, device-resident: returns
+        (solid, counts device arrays at trimmed cap, n_solid) — the
+        production build path (engine.build_from_blocks); forcing n_solid
+        materializes every queued device op."""
+        unique, counts, n_unique, stats = engine.count_blocks(blocks_iter, cfg)
+        n_u = int(n_unique)
+        cap = engine._round_capacity(max(1, n_u))
+        solid, scounts, n_solid = count_op.filter_abundance(
+            unique[:, :cap], counts[:cap], jnp.asarray(n_u, jnp.int32),
+            cfg.abundance_min, cfg.abundance_max,
+        )
+        return solid, scounts, int(n_solid), n_u, stats
+
     # warmup/compile with a one-block prefix (same shapes as the real run)
     t0 = time.time()
-    engine.count_and_filter(iter(blocks[:1]), cfg)
+    count_device(iter(blocks[:1]))
     log(f"warmup (compile) took {time.time()-t0:.1f}s")
 
-    # timed runs: full chunked counting incl. solidity, host-driven
+    # timed runs: full chunked counting incl. solidity (device-resident,
+    # as in the production build path; the checkpoint D2H copy is
+    # storage I/O, not counting, and is excluded from the metric)
     times = []
     result = None
     for _ in range(3):
         t0 = time.time()
-        result = engine.count_and_filter(iter(blocks), cfg)
+        result = count_device(iter(blocks))
         times.append(time.time() - t0)
     t_count = min(times)
-    solid_np, counts_np, histo, stats = result
-    n_solid = solid_np.shape[1]
+    solid_d_full, counts_d_full, n_solid, n_distinct, stats = result
     log(f"count: {t_count*1e3:.1f}ms for {n_occ} occurrences "
-        f"({stats['distinct_kmers']} distinct, {n_solid} solid)")
+        f"({n_distinct} distinct, {n_solid} solid)")
     kmers_per_sec = n_occ / t_count
 
     # compaction timing (junctions + chains), device portion
-    import jax.numpy as jnp
-
     cap = engine._round_capacity(max(1, n_solid))
-    L = solid_np.shape[0]
-    solid_d = jnp.asarray(np.concatenate(
-        [solid_np, np.zeros((L, cap - n_solid), np.uint32)], axis=1))
-    counts_d = jnp.asarray(np.concatenate(
-        [counts_np, np.zeros((cap - n_solid,), np.int32)]))
+    solid_d = solid_d_full[:, :cap]
+    counts_d = counts_d_full[:cap]
     t0 = time.time()
     succ, _, info = engine.compact_solid(solid_d, counts_d, n_solid, k)
     nu = int(info["n_unitigs"])

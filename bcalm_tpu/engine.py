@@ -135,8 +135,9 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
     compacted to the front.
     """
     L = ln.num_lanes(cfg.k)
-    chunk_buf = None   # (L, chunk_cap) device buffer, sentinel-filled
-    chunk_cap = None   # chunk_kmers rounded UP to a multiple of block size
+    chunk_buf = None   # (L, chunk_cap + block_F) device buffer
+    chunk_cap = None   # power-of-two counting capacity
+    block_F = None     # folded slots per block (fixed block geometry)
     chunk_fill = 0
     partials = []                     # (unique, counts, n) per flushed chunk
     pending = None                    # last chunk's (unique, counts, n_dev)
@@ -153,7 +154,11 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         return u, counts[:cap], n_u
 
     def fresh_buf():
-        return jnp.full((L, chunk_cap), count_op.SENTINEL, jnp.uint32)
+        # chunk_cap is a power of two (the bitonic sort's shape class);
+        # the extra F columns are slack so block inserts never straddle —
+        # a flush counts exactly [:chunk_cap] and carries the tail over
+        return jnp.full((L, chunk_cap + block_F), count_op.SENTINEL,
+                        jnp.uint32)
 
     def settle_pending():
         """Materialize the PREVIOUS chunk's distinct count and trim it.
@@ -171,30 +176,37 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         nonlocal chunk_buf, chunk_fill, pending
         if chunk_fill == 0:
             return
-        valid = ~jnp.all(chunk_buf == count_op.SENTINEL, axis=0)
-        unique, counts, n_unique = count_op.count_canonical(chunk_buf, valid)
+        # partially-filled chunks (stream tail) count at the smallest
+        # power-of-two capacity covering the fill — bounded shape classes
+        body_cap = min(chunk_cap, _round_capacity(chunk_fill))
+        body = chunk_buf[:, :body_cap]
+        valid = ~jnp.all(body == count_op.SENTINEL, axis=0)
+        unique, counts, n_unique = count_op.count_canonical(body, valid)
         settle_pending()
         pending = (unique, counts, n_unique)
+        leftover = max(0, chunk_fill - chunk_cap)
+        tail = chunk_buf[:, chunk_cap:]
         chunk_buf = fresh_buf()
-        chunk_fill = 0
+        if leftover:
+            keep = (jnp.arange(block_F, dtype=jnp.int32)
+                    < jnp.asarray(leftover, jnp.int32))
+            tail = jnp.where(keep[None], tail, count_op.SENTINEL)
+            chunk_buf = jax.lax.dynamic_update_slice(chunk_buf, tail, (0, 0))
+        chunk_fill = leftover
 
     for block in blocks:
         folded, _ = _extract_fold(
             jnp.asarray(block.words), jnp.asarray(block.lengths), cfg.k
         )
         F = folded.shape[1]
-        if chunk_buf is None:
-            # chunk capacity = multiple of the (fixed) block folded size, so
-            # every insert is one dynamic_update_slice of one static shape
-            chunk_cap = max(1, -(-cfg.chunk_kmers // F)) * F
+        if chunk_buf is None or F != block_F:
+            if chunk_buf is not None:  # geometry change: drain old buffer
+                flush()
+            block_F = F
+            # power-of-two capacity: the shape class the bitonic sort wants
+            chunk_cap = _round_capacity(max(cfg.chunk_kmers, F))
             chunk_buf = fresh_buf()
-        if chunk_fill + F > chunk_cap:
-            flush()
-        if F > chunk_cap:
-            raise ValueError(
-                f"block folded size {F} exceeds chunk capacity {chunk_cap}; "
-                f"raise chunk_kmers or lower block_reads/max_len"
-            )
+            chunk_fill = 0
         lens = block.lengths.astype(np.int64)
         n_reads += int((lens > 0).sum())
         n_bases += int(lens.sum())

@@ -91,46 +91,49 @@ def count_canonical(lanes: jnp.ndarray, valid: jnp.ndarray, weights=None,
       counts: (N,) int32 occurrence counts aligned with `unique`
       n_unique: () int32
 
-    Implementation note (TPU scatters are index-rate-bound, ~50M idx/s):
-    per-group counts come from prefix-sum arithmetic — a scatter-MAX of
-    the inclusive weight cumsum with MONOTONE destinations lands each
-    group's end-cumsum at its compacted slot, and adjacent differences
-    recover the group sums; no segment_sum.  The compaction scatters also
-    use monotone destinations (duplicate destinations write identical
-    values), preserving the sorted-indices fast path.  Total cost: one
-    L-key sort + 1 cumsum + (L+1) sorted scatters.
+    Implementation note (TPU scatters are index-rate-bound, ~50M idx/s —
+    3 compaction scatters at occurrence scale cost 3x the sort): the
+    dedup-compaction is a SECOND sort by (group id | sentinel) carrying
+    the key lanes and the exclusive weight-cumsum as payloads; group
+    counts are adjacent differences of the compacted cumsums.  Both sorts
+    go through ops.sort_tpu (VMEM-fused bitonic kernels on TPU, lax.sort
+    fallback elsewhere).  Total: 2 sorts + 1 cumsum + elementwise.
     """
+    from bcalm_tpu.ops import sort_tpu
+
     L, N = lanes.shape
     folded = fold_sentinel(lanes, valid)
     ops = [folded[j] for j in range(L)]
     if weighted:
-        ops.append(weights.astype(jnp.int32))
-    out = jax.lax.sort(ops, num_keys=L)
+        ops.append(weights.astype(jnp.uint32))
+    out = sort_tpu.sort_ops(ops, num_keys=L)
     s_lanes = jnp.stack(out[:L], axis=0)
     s_valid = ~jnp.all(s_lanes == SENTINEL, axis=0)
     starts = row_starts(s_lanes, s_valid)
     gid = jnp.cumsum(starts.astype(jnp.int32)) - 1
 
-    w = out[L] if weighted else s_valid.astype(jnp.int32)
+    w = out[L].astype(jnp.int32) if weighted else s_valid.astype(jnp.int32)
     w = jnp.where(s_valid, w, 0)
     cumw = jnp.cumsum(w)
+    excl = (cumw - w).astype(jnp.uint32)  # weight strictly before position
 
-    # compaction: dest is non-decreasing (gid, with the sentinel tail
-    # dropped past the end); every position of a run writes the same value
-    dest = jnp.where(s_valid, gid, N)
-    unique = jnp.zeros_like(s_lanes)
-    for j in range(L):
-        unique = unique.at[j, dest].set(
-            s_lanes[j], mode="drop", indices_are_sorted=True
-        )
-    # group sum = cumw at group end - cumw at previous group end; the
-    # scatter-max deposits each group's end-cumsum at its compacted slot
-    ends_cum = jnp.zeros((N,), jnp.int32).at[dest].max(
-        cumw, mode="drop", indices_are_sorted=True
+    # compaction sort: heads keyed by gid (ascending = key order), all
+    # non-heads and sentinel slots pushed to the tail
+    key2 = jnp.where(starts, gid.astype(jnp.uint32), SENTINEL)
+    out2 = sort_tpu.sort_ops(
+        [key2] + [s_lanes[j] for j in range(L)] + [excl], num_keys=1
     )
-    prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends_cum[:-1]])
-    counts = jnp.maximum(ends_cum - prev, 0)
     n_unique = jnp.sum(starts.astype(jnp.int32))
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid_g = idx < n_unique
+    unique = jnp.where(valid_g[None], jnp.stack(out2[1:L + 1], axis=0), 0)
+    ex = out2[L + 1].astype(jnp.int32)
+    # count of group g = excl at next head - excl at this head (the last
+    # head closes against the grand total)
+    nxt = jnp.concatenate([ex[1:], jnp.zeros((1,), jnp.int32)])
+    total = cumw[N - 1]
+    cnt = jnp.where(idx == n_unique - 1, total - ex, nxt - ex)
+    counts = jnp.where(valid_g, cnt, 0)
     return unique, counts, n_unique
 
 

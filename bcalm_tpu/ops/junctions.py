@@ -121,8 +121,10 @@ def successor_arrays(solid: jnp.ndarray, n_solid: jnp.ndarray, k: int):
     ])
     payload = oid | (role << _ROLE_SHIFT)
 
+    from bcalm_tpu.ops import sort_tpu
+
     K = keys.shape[0]
-    out = jax.lax.sort([keys[j] for j in range(K)] + [payload], num_keys=K)
+    out = sort_tpu.sort_ops([keys[j] for j in range(K)] + [payload], num_keys=K)
     s_keys = jnp.stack(out[:K], axis=0)
     s_pay = out[K]
     E = s_pay.shape[0]

@@ -11,6 +11,11 @@ distance < TILE into VMEM-resident Pallas kernels, so HBM sees only:
 
 for N = 2^p and TILE = 2^s — ~30 passes instead of ~300.
 
+The kernels are TABLE-DRIVEN: one tiny substage body runs under
+`lax.fori_loop` with the (phase k, substage j) schedule in registers and
+`pltpu.roll` dynamic shifts, so Mosaic compiles one body instead of
+inlining ~136 stages (which took the remote compile service >10min).
+
 Layout: each operand is a flat (N,) uint32 viewed as (N/128, 128); an
 element's global index i lives at (row i>>7, lane i&127).  Exchanges at
 distance d < 128 are lane-axis XOR shuffles (two rolls + select); at
@@ -47,6 +52,14 @@ _U32 = jnp.uint32
 # test hook: run kernels in interpreter mode (CPU)
 _INTERPRET = False
 
+# The Pallas path measured 228ms vs lax.sort's 93ms for 16.8M x 2 operands
+# on v5e: the dynamic-shift rolls + per-substage cond dominate (XLA's sort
+# is already near the bitonic HBM/VPU bound at ~180M elem/s).  Kept for
+# further kernel work; enable with BTPU_PALLAS_SORT=1.
+import os as _os
+
+_USE_PALLAS = _os.environ.get("BTPU_PALLAS_SORT", "0") == "1"
+
 
 def _lex_less(a, b, num_keys):
     """Lexicographic a < b over the first num_keys operands."""
@@ -63,30 +76,42 @@ def _lex_eq(a, b, num_keys):
     return eq
 
 
-def _substage(vals, idx, j, k, num_keys, roll):
-    """One compare-exchange substage: distance 2^j, direction bit k.
+def _roll_dyn(x, shift, axis):
+    """Circular roll by a traced shift (kernel path uses pltpu.roll)."""
+    if _INTERPRET:
+        return jnp.roll(x, shift, axis=axis)
+    from jax.experimental.pallas import tpu as pltpu
 
-    vals: list of arrays (any 2D shape with the lane axis last)
-    idx:  global element index array (same shape)
-    roll: roll(x, shift, axis) implementation (jnp.roll or pltpu.roll)
-    """
-    d = 1 << j
-    if d < LANES:
-        axis, dist = 1, d
-    else:
-        axis, dist = 0, d // LANES
+    return pltpu.roll(x, shift, axis=axis)
 
-    def partner_of(x):
-        fwd = roll(x, dist, axis)    # [i] <- x[i - d]
-        bwd = roll(x, -dist, axis)   # [i] <- x[i + d]
+
+def _substage_dyn(vals, idx, j, k, num_keys):
+    """One compare-exchange substage with TRACED j (distance 2^j) and k
+    (direction bit).  vals are (rows, 128) arrays; idx global indices."""
+    d = (jnp.int32(1) << j)
+    upper = ((idx >> j) & 1) == 1
+
+    def lane_partner(x):
+        fwd = _roll_dyn(x, d, 1)
+        bwd = _roll_dyn(x, LANES - d, 1)
         return jnp.where(upper, fwd, bwd)
 
-    upper = ((idx >> j) & 1) == 1
-    p_vals = [partner_of(x) for x in vals]
+    def row_partner(x):
+        rows = x.shape[0]
+        dr = d // LANES
+        fwd = _roll_dyn(x, dr, 0)
+        bwd = _roll_dyn(x, rows - dr, 0)
+        return jnp.where(upper, fwd, bwd)
+
+    p_vals = jax.lax.cond(
+        d < LANES,
+        lambda vs: [lane_partner(x) for x in vs],
+        lambda vs: [row_partner(x) for x in vs],
+        vals,
+    )
 
     desc = ((idx >> k) & 1) == 1
     want_min = upper == desc  # lower keeps min when ascending
-    # consistent pair decision: tie-break equal keys by index
     p_idx = jnp.where(upper, idx - d, idx + d)
     self_first = _lex_less(vals, p_vals, num_keys) | (
         _lex_eq(vals, p_vals, num_keys) & (idx < p_idx)
@@ -95,79 +120,93 @@ def _substage(vals, idx, j, k, num_keys, roll):
     return [jnp.where(keep_self, s, p) for s, p in zip(vals, p_vals)]
 
 
-def _tile_idx(t_ref_or_pid, rows):
-    r = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
-    l = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-    return r * LANES + l
-
-
 def _local_sort_kernel(num_keys, n_ops, *refs):
-    """Fused bitonic phases 1..TILE_LOG2 of one tile."""
-    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+    """Fused bitonic phases 1..TILE_LOG2 of one tile (nested fori loops —
+    one compiled substage body instead of ~136 inlined stages)."""
     import jax.experimental.pallas as pl
 
     in_refs = refs[:n_ops]
     out_refs = refs[n_ops:]
     t = pl.program_id(0)
-    idx = _tile_idx(t, TILE_ROWS) + t * TILE
-    vals = [r[:] for r in in_refs]
-    roll = _pltpu_roll()
-    for k in range(1, TILE_LOG2 + 1):
-        for j in range(k - 1, -1, -1):
-            vals = _substage(vals, idx, j, k, num_keys, roll)
-    for r, v in zip(out_refs, vals):
-        r[:] = v
+    r = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
+    idx = r * LANES + l + t * TILE
+
+    def phase(k, vals):
+        def body(i, vals):
+            return _substage_dyn(list(vals), idx, k - 1 - i, k, num_keys)
+
+        return jax.lax.fori_loop(0, k, body, vals)
+
+    vals = jax.lax.fori_loop(1, TILE_LOG2 + 1, phase,
+                             [r_[:] for r_ in in_refs])
+    for r_, v in zip(out_refs, vals):
+        r_[:] = v
 
 
-def _tile_merge_kernel(num_keys, n_ops, k, *refs):
-    """Fused substages j = TILE_LOG2-1 .. 0 of merge phase k."""
+def _tile_merge_kernel(num_keys, n_ops, *refs):
+    """Fused substages j = TILE_LOG2-1 .. 0 of merge phase k (k passed as
+    a scalar input so one compiled kernel serves every phase)."""
     import jax.experimental.pallas as pl
 
-    in_refs = refs[:n_ops]
-    out_refs = refs[n_ops:]
+    k_ref = refs[0]
+    in_refs = refs[1:1 + n_ops]
+    out_refs = refs[1 + n_ops:]
     t = pl.program_id(0)
-    idx = _tile_idx(t, TILE_ROWS) + t * TILE
-    vals = [r[:] for r in in_refs]
-    roll = _pltpu_roll()
-    for j in range(TILE_LOG2 - 1, -1, -1):
-        vals = _substage(vals, idx, j, k, num_keys, roll)
-    for r, v in zip(out_refs, vals):
-        r[:] = v
+    r = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
+    idx = r * LANES + l + t * TILE
+    k = k_ref[0]
+
+    def body(m, vals):
+        j = TILE_LOG2 - 1 - m
+        return _substage_dyn(list(vals), idx, j, k, num_keys)
+
+    vals = jax.lax.fori_loop(0, TILE_LOG2, body, [r_[:] for r_ in in_refs])
+    for r_, v in zip(out_refs, vals):
+        r_[:] = v
 
 
-def _pltpu_roll():
-    """Roll implementation for kernel bodies (lane/sublane circular shift)."""
-    if _INTERPRET:
-        return lambda x, s, a: jnp.roll(x, s, axis=a)
-    from jax.experimental.pallas import tpu as pltpu
-
-    def roll(x, s, a):
-        return pltpu.roll(x, s % x.shape[a], axis=a)
-
-    return roll
-
-
-def _pallas_tile_pass(ops2d, num_keys, kernel_body, name):
+def _pallas_local(ops2d, num_keys):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_ops = len(ops2d)
     rows = ops2d[0].shape[0]
-    grid = (rows // TILE_ROWS,)
     spec = pl.BlockSpec((TILE_ROWS, LANES), lambda t: (t, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        kernel_body,
-        grid=grid,
+        partial(_local_sort_kernel, num_keys, n_ops),
+        grid=(rows // TILE_ROWS,),
         in_specs=[spec] * n_ops,
         out_specs=[spec] * n_ops,
         out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype) for x in ops2d],
         interpret=_INTERPRET,
-        name=name,
+        name="bitonic_local",
     )(*ops2d)
 
 
-def _cross_stage(ops, idx, j, k, num_keys):
+def _pallas_merge(ops2d, num_keys, k):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_ops = len(ops2d)
+    rows = ops2d[0].shape[0]
+    spec = pl.BlockSpec((TILE_ROWS, LANES), lambda t: (t, 0),
+                        memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        partial(_tile_merge_kernel, num_keys, n_ops),
+        grid=(rows // TILE_ROWS,),
+        in_specs=[k_spec] + [spec] * n_ops,
+        out_specs=[spec] * n_ops,
+        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype) for x in ops2d],
+        interpret=_INTERPRET,
+        name="bitonic_merge",
+    )(jnp.asarray([k], jnp.int32), *ops2d)
+
+
+def _cross_stage(ops, j, k, num_keys):
     """One cross-tile substage (j >= TILE_LOG2) as XLA elementwise ops.
 
     2d divides N here (d >= TILE, N % TILE == 0 and N a power of two), so
@@ -180,8 +219,7 @@ def _cross_stage(ops, idx, j, k, num_keys):
     g = jax.lax.broadcasted_iota(jnp.int32, (N // (2 * d), 1), 0)
     desc = ((g >> (k - j - 1)) & 1) == 1  # dir bit k of i = g*2d + ...
     a_first = _lex_less(a, b, num_keys) | _lex_eq(a, b, num_keys)
-    keep = desc != a_first  # ascending & a<=b -> keep layout
-    keep = ~keep
+    keep = a_first != desc  # ascending & a<=b -> keep layout; desc flips
     out = []
     for xa, xb in zip(a, b):
         na = jnp.where(keep, xa, xb)
@@ -199,24 +237,21 @@ def sort_ops(operands, num_keys: int):
     N = operands[0].shape[0]
     ok_shape = N >= 2 * TILE and (N & (N - 1)) == 0 and N % TILE == 0
     backend = jax.default_backend()
+    if not (_USE_PALLAS or _INTERPRET):
+        return jax.lax.sort(operands, num_keys=num_keys)
     if not ok_shape or (backend != "tpu" and not _INTERPRET):
         return jax.lax.sort(operands, num_keys=num_keys)
     if any(x.dtype != jnp.uint32 for x in operands):
         return jax.lax.sort(operands, num_keys=num_keys)
 
     p = int(np.log2(N))
-    n_ops = len(operands)
     ops2d = [x.reshape(N // LANES, LANES) for x in operands]
+    ops2d = _pallas_local(ops2d, num_keys)
 
-    local = partial(_local_sort_kernel, num_keys, n_ops)
-    ops2d = _pallas_tile_pass(ops2d, num_keys, local, "bitonic_local")
-
-    idx = None
     for k in range(TILE_LOG2 + 1, p + 1):
         flat = [x.reshape(N) for x in ops2d]
         for j in range(k - 1, TILE_LOG2 - 1, -1):
-            flat = _cross_stage(flat, idx, j, k, num_keys)
+            flat = _cross_stage(flat, j, k, num_keys)
         ops2d = [x.reshape(N // LANES, LANES) for x in flat]
-        merge = partial(_tile_merge_kernel, num_keys, n_ops, k)
-        ops2d = _pallas_tile_pass(ops2d, num_keys, merge, f"bitonic_merge_{k}")
+        ops2d = _pallas_merge(ops2d, num_keys, k)
     return [x.reshape(N) for x in ops2d]

@@ -125,29 +125,34 @@ def _local_succ_shard(solid, n_local, k: int, n_dev: int, cap_entries: int,
     src = jnp.where(role_a == junc.ROLE_OUT, oid_a, oid_b)
     dst = jnp.where(role_a == junc.ROLE_OUT, oid_b, oid_a)
 
-    # route (src, dst) to the owner of src's slot
-    src_slot = jnp.where(src >= tot, src - tot, src)
-    src_owner = src_slot // slot_cap
-    edge = jnp.stack([src.astype(_U32), dst.astype(_U32)], axis=0)
-    bl2, bv2, drop2 = _route_to_buckets(edge, ok, src_owner, n_dev,
-                                        cap_entries)
-    recv2, recv2_v = _exchange(bl2, bv2)
-    edges = recv2.reshape(2, -1)
-    ev = recv2_v.reshape(-1)
+    def scatter_edges(a, b, mask):
+        """Route (a -> b) pairs to the owner of a's slot and scatter b into
+        a local table indexed by a's local oriented id."""
+        a_slot = jnp.where(a >= tot, a - tot, a)
+        a_owner = a_slot // slot_cap
+        edge = jnp.stack([a.astype(_U32), b.astype(_U32)], axis=0)
+        bl, bv, drop = _route_to_buckets(edge, mask, a_owner, n_dev,
+                                         cap_entries)
+        recv, recv_v = _exchange(bl, bv)
+        edges = recv.reshape(2, -1)
+        ev = recv_v.reshape(-1)
+        ea = edges[0].astype(jnp.int32)
+        eb = edges[1].astype(jnp.int32)
+        eslot = jnp.where(ea >= tot, ea - tot, ea) - me * slot_cap
+        lidx = jnp.where(ea >= tot, eslot + slot_cap, eslot)
+        table = jnp.full((2 * slot_cap,), -1, dtype=jnp.int32)
+        table = table.at[jnp.where(ev, lidx, 2 * slot_cap)].set(
+            jnp.where(ev, eb, -1), mode="drop"
+        )
+        return table, drop
 
-    # scatter into the local succ shard, indexed by local oriented id:
-    # local id: slot strand + => slot - me*slot_cap; strand - => + slot_cap
-    esrc = edges[0].astype(jnp.int32)
-    edst = edges[1].astype(jnp.int32)
-    eslot = jnp.where(esrc >= tot, esrc - tot, esrc) - me * slot_cap
-    eneg = esrc >= tot
-    lidx = jnp.where(eneg, eslot + slot_cap, eslot)
-    succ = jnp.full((2 * slot_cap,), -1, dtype=jnp.int32)
-    succ = succ.at[jnp.where(ev, lidx, 2 * slot_cap)].set(
-        jnp.where(ev, edst, -1), mode="drop"
-    )
-    dropped = jax.lax.psum(drop1 + drop2, AXIS)
-    return succ, dropped
+    # successor shard (edges routed to src owners) and predecessor shard
+    # (same edges routed to dst owners) — pred is succ's inverse and feeds
+    # the sharded pointer-jumping loop directly
+    succ, drop2 = scatter_edges(src, dst, ok)
+    pred, drop3 = scatter_edges(dst, src, ok)
+    dropped = jax.lax.psum(drop1 + drop2 + drop3, AXIS)
+    return succ, pred, dropped
 
 
 def succ_shard_fn(mesh, k: int, n_dev: int, cap_entries: int, slot_cap: int):
@@ -156,28 +161,82 @@ def succ_shard_fn(mesh, k: int, n_dev: int, cap_entries: int, slot_cap: int):
                 slot_cap=slot_cap),
         mesh=mesh,
         in_specs=(P(None, AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P()),
         check_vma=False,
     )
     return jax.jit(fn)
 
 
 def distributed_succ(mesh, solid_sharded, n_local, k, cap_entries, slot_cap):
-    """Compute the sharded successor array on the mesh."""
+    """Compute the sharded successor + predecessor arrays on the mesh."""
     fn = succ_shard_fn(mesh, k, mesh.devices.size, cap_entries, slot_cap)
-    succ, dropped = fn(solid_sharded, n_local)
-    return succ, int(dropped)
+    succ, pred, dropped = fn(solid_sharded, n_local)
+    return succ, pred, int(dropped)
+
+
+def _chain_loop_shard(succ_l, pred_l, n_loc, n_dev: int, slot_cap: int):
+    """Per-device pointer-jumping shard: the state table is sharded; each
+    doubling round all_gathers the (4-int-per-node) table over the mesh and
+    resolves ancestor rows locally — the log-round collective replacement
+    for the reference's CAS-contended shared-memory union-find
+    (example/uf/testUF.cpp), with psum'd convergence."""
+    from bcalm_tpu.ops import chains as chains_op
+
+    me = jax.lax.axis_index(AXIS)
+    tot = n_dev * slot_cap
+    two_cap = 2 * slot_cap
+    lidx = jnp.arange(two_cap, dtype=jnp.int32)
+    slot = me.astype(jnp.int32) * slot_cap + (lidx % slot_cap)
+    gidx = jnp.where(lidx >= slot_cap, tot + slot, slot)
+    valid_l = (lidx % slot_cap) < n_loc[0]
+    pred_l = jnp.where(valid_l, pred_l, -1)
+    state = chains_op.init_state(pred_l, valid_l, gidx, 2 * tot)
+
+    def g2row(g):
+        """Global oriented id -> row in the device-block-gathered table."""
+        s = jnp.where(g >= tot, g - tot, g)
+        loc = s % slot_cap + jnp.where(g >= tot, slot_cap, 0)
+        return (s // slot_cap) * two_cap + loc
+
+    R = chains_op._max_rounds(2 * tot)
+
+    def cond(carry):
+        state, changed, t = carry
+        return changed & (t < R)
+
+    def body(carry):
+        state, _, t = carry
+        full = jax.lax.all_gather(state, AXIS, tiled=True)
+        anc = jnp.take(full, g2row(state[:, chains_op._PTR]), axis=0)
+        new = chains_op.round_update(state, anc)
+        changed = jax.lax.psum(
+            jnp.any(new != state).astype(jnp.int32), AXIS) > 0
+        return new, changed, t + 1
+
+    state, _, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.asarray(True), jnp.asarray(0))
+    )
+    return state
+
+
+def chain_loop_fn(mesh, n_dev: int, slot_cap: int):
+    fn = shard_map(
+        partial(_chain_loop_shard, n_dev=n_dev, slot_cap=slot_cap),
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS, None),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def distributed_compact(mesh, solid_per_dev, counts_per_dev, k: int):
     """Host-driven distributed compaction from per-device solid shards.
 
-    Junction matching and edge construction run sharded on the mesh (the
-    expensive O(occurrences)-adjacent part); the successor array — 4 bytes
-    per oriented node — is then gathered for chain extraction and host
-    assembly.  (Fully sharded pointer jumping via request/response
-    all_to_all rounds is the designed next step; the succ gather is the
-    current scalability waterline and is ~100x smaller than the input.)
+    Junction matching, edge construction AND the pointer-jumping doubling
+    loop all run sharded on the mesh; only the final chain bookkeeping
+    (16 bytes per oriented node, ~100x smaller than the input stream) is
+    gathered for host assembly.
 
     Args:
       solid_per_dev: list of lane-major (L, n_d) uint32 arrays (disjoint sets)
@@ -204,24 +263,44 @@ def distributed_compact(mesh, solid_per_dev, counts_per_dev, k: int):
     # never overflow regardless of key-hash skew (production tuning can
     # shrink it with an overflow-retry loop)
     cap_entries = 4 * slot_cap
-    succ_sh, dropped = distributed_succ(
+    succ_sh, pred_sh, dropped = distributed_succ(
         mesh, jnp.asarray(solid_global), jnp.asarray(n_local), k,
         cap_entries, slot_cap,
     )
     if dropped:
         raise RuntimeError(f"junction exchange overflow: {dropped} entries")
 
-    # reassemble the global successor array from slot-major shards
+    # sharded pointer jumping over the mesh (state stays device-resident;
+    # rounds exchange the 16-byte-per-node table via all_gather)
+    state_sh = chain_loop_fn(mesh, n_dev, slot_cap)(
+        succ_sh, pred_sh, jnp.asarray(n_local)
+    )
+
+    # reassemble global (strand-major) layout from device-block shards
     tot = n_dev * slot_cap
-    sh = np.asarray(succ_sh).reshape(n_dev, 2 * slot_cap)
-    succ_global = np.concatenate([sh[:, :slot_cap].reshape(-1),
-                                  sh[:, slot_cap:].reshape(-1)])
+
+    def to_global(sharded):
+        sh = np.asarray(sharded).reshape(n_dev, 2 * slot_cap, -1)
+        return np.concatenate([
+            sh[:, :slot_cap].reshape(tot, -1),
+            sh[:, slot_cap:].reshape(tot, -1),
+        ]).squeeze()
+
+    succ_global = to_global(succ_sh)
+    pred_global = to_global(pred_sh)
+    state_global = np.asarray(state_sh).reshape(n_dev, 2 * slot_cap, 4)
+    state_global = np.concatenate([
+        state_global[:, :slot_cap].reshape(tot, 4),
+        state_global[:, slot_cap:].reshape(tot, 4),
+    ])
     oid = np.arange(2 * tot)
     slot = np.where(oid >= tot, oid - tot, oid)
     valid = (slot % slot_cap) < n_local[slot // slot_cap]
 
-    info = chains_op.chain_decompose(jnp.asarray(succ_global),
-                                     jnp.asarray(valid))
+    info = jax.jit(chains_op.finish)(
+        jnp.asarray(succ_global), jnp.asarray(pred_global),
+        jnp.asarray(valid), jnp.asarray(state_global),
+    )
     seqs, kc, abund, circular = eng.assemble_unitigs(
         jnp.asarray(solid_global), jnp.asarray(counts_global), info, k
     )

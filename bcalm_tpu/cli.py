@@ -56,12 +56,18 @@ def build_parser() -> OptionsParser:
     # hidden gatb options surfaced for parity (src/bcalm_1.cpp:34-37)
     p.one_param("-histo-max", "max histogram bin", default="10000",
                 visible=False)
-    p.one_param("-solidity-kind", "multi-sample solidity (sum only)",
+    p.one_param("-solidity-kind", "multi-sample solidity: sum|min|max",
                 default="sum", visible=False)
-    p.one_param("-abundance-min-threshold", "legacy", default="2",
+    p.one_param("-abundance-min-threshold",
+                "cap for '-abundance-min auto'", default="20",
                 visible=False)
     p.one_param("-solid-kmers-out", "write solid (kmer,count) pairs to file",
                 default=None, visible=False)
+    # glue diagnostics (legacy --only-uf/--uf-stats, src/bcalm_1.cpp:26-27)
+    p.no_param("-only-uf", "stop after chain labeling (UF analog); no "
+                           "unitig assembly or output", visible=False)
+    p.no_param("-uf-stats", "print chain-decomposition (UF-class) stats",
+               visible=False)
     # TPU-specific
     p.one_param("-devices", "number of devices to use (0 = all)", default="0")
     p.no_param("-version", "show version")
@@ -96,13 +102,14 @@ def redo_links(unitigs_path: str, k: int, verbose: int) -> None:
         circular=np.zeros(len(seqs), bool),
         links=links,
     )
-    # preserve original non-link fields, replace links
+    # preserve original non-link fields, replace links (grouped by source)
+    by_src: dict = {}
+    for (u, su, v, sv) in links:
+        by_src.setdefault(u, []).append(f"L:{su}:{v}:{sv}")
     out_lines = []
     for i, h in enumerate(headers):
         toks = [t for t in h.split(" ") if t and not t.startswith("L:")]
-        for (u, su, v, sv) in links:
-            if u == i:
-                toks.append(f"L:{su}:{v}:{sv}")
+        toks.extend(by_src.get(i, ()))
         out_lines.append(">" + " ".join(toks))
     with open(unitigs_path, "w") as f:
         for i, s in enumerate(seqs):
@@ -187,13 +194,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         redo_links(unitigs_path, k, verbose)
         return 0
 
+    amin_raw = props.get_str("-abundance-min")
+    auto_amin = amin_raw == "auto"
     cfg = engine.EngineConfig(
         k=k,
-        abundance_min=props.get_int("-abundance-min"),
+        abundance_min=1 if auto_amin else int(amin_raw),
         abundance_max=props.get_int("-abundance-max"),
         histo_max=props.get_int("-histo-max"),
     )
     engine.configure_chunk(cfg, props.get_int("-max-memory"))
+    solidity_kind = props.get_str("-solidity-kind")
     store = Store(prefix)
 
     solid = counts = histo = None
@@ -221,15 +231,55 @@ def main(argv: Optional[List[str]] = None) -> int:
 
             progress = Progress("reads packed", enabled=verbose >= 1)
 
-            def counted_blocks():
-                for b in _input_blocks(bank, cfg, verbose,
-                                       nb_cores=props.get_int("-nb-cores")):
-                    progress.update(int((b.lengths > 0).sum()))
-                    yield b
-                progress.done()
+            def counted_blocks(b=None):
+                src = b if b is not None else bank
+                for blk in _input_blocks(src, cfg, verbose,
+                                         nb_cores=props.get_int("-nb-cores")):
+                    progress.update(int((blk.lengths > 0).sum()))
+                    yield blk
 
-            solid, counts, histo, stats = engine.count_and_filter(
-                counted_blocks(), cfg)
+            import numpy as np
+
+            if solidity_kind != "sum" and len(bank.paths) > 1:
+                # multi-sample solidity (min/max): count each bank
+                # separately at abundance 1, combine per solidity kind
+                import dataclasses
+                cfg1 = dataclasses.replace(
+                    cfg, abundance_min=1, abundance_max=2**31 - 1)
+                runs = []
+                stats = {}
+                for p in bank.paths:
+                    sub = bank_mod.Bank([p])
+                    s_i, c_i, _, st = engine.count_and_filter(
+                        counted_blocks(sub), cfg1)
+                    runs.append((s_i, c_i))
+                    for key in ("reads", "bases", "kmer_occurrences"):
+                        stats[key] = stats.get(key, 0) + st.get(key, 0)
+                lanes, agg = engine.combine_sample_counts(runs, solidity_kind)
+                histo = np.bincount(
+                    np.minimum(agg, cfg.histo_max),
+                    minlength=cfg.histo_max + 1).astype(np.int32)
+                if auto_amin:
+                    cfg.abundance_min = engine.auto_abundance_min(
+                        histo, props.get_int("-abundance-min-threshold"))
+                keep = ((agg >= cfg.abundance_min)
+                        & (agg <= cfg.abundance_max))
+                solid, counts = lanes[:, keep], agg[keep]
+                stats["distinct_kmers"] = int(lanes.shape[1])
+                stats["solid_kmers"] = int(solid.shape[1])
+            else:
+                solid, counts, histo, stats = engine.count_and_filter(
+                    counted_blocks(), cfg)
+                if auto_amin:
+                    cfg.abundance_min = engine.auto_abundance_min(
+                        histo, props.get_int("-abundance-min-threshold"))
+                    keep = ((counts >= cfg.abundance_min)
+                            & (counts <= cfg.abundance_max))
+                    solid, counts = solid[:, keep], counts[keep]
+                    stats["solid_kmers"] = int(solid.shape[1])
+            progress.done()
+            if auto_amin and verbose:
+                print(f"auto abundance-min = {cfg.abundance_min}")
         with ti.timer("store"):
             store.write_counts(solid, counts, k, histogram=histo,
                                config={"abundance_min": cfg.abundance_min})
@@ -242,22 +292,33 @@ def main(argv: Optional[List[str]] = None) -> int:
                 f.write(f"{ln.int_to_string(ln.lanes_to_int(solid[:, i]), k)}\t"
                         f"{int(counts[i])}\n")
 
+    only_uf = props.get_bool("-only-uf")
     with ti.timer("compact"):
-        us = engine.compact_from_counts(solid, counts, cfg)
+        us = engine.compact_from_counts(
+            solid, counts, cfg, only_uf=only_uf,
+            uf_stats=props.get_bool("-uf-stats"))
     us.stats.update(stats)
     us.histogram = histo
 
-    with ti.timer("write"):
-        with open(unitigs_path, "w") as f:
-            fasta_writer.write_fasta(
-                us, f, all_abundance_counts=props.get_bool("-all-abundance-counts")
-            )
+    if not only_uf:
+        with ti.timer("write"):
+            with open(unitigs_path, "w") as f:
+                fasta_writer.write_fasta(
+                    us, f,
+                    all_abundance_counts=props.get_bool("-all-abundance-counts"),
+                )
 
-    # end-of-run cleanup, mirroring the reference's .h5 removal
-    store.remove()
+    # end-of-run cleanup, mirroring the reference's .h5 removal (kept when
+    # a later resume stage will need it, like -skip-bcalm workflows expect)
+    if not only_uf:
+        store.remove()
 
     if verbose:
-        print(f"wrote {len(us.seqs)} unitigs -> {unitigs_path}")
+        if only_uf:
+            print(f"-only-uf: stopped after chain labeling "
+                  f"({us.stats.get('uf_classes', 0)} classes)")
+        else:
+            print(f"wrote {len(us.seqs)} unitigs -> {unitigs_path}")
         for key, val in sorted(us.stats.items()):
             print(f"    [{key}] {val}")
         for name, secs in ti.report().items():

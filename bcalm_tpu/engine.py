@@ -117,6 +117,12 @@ def _extract_fold(words, lengths, k):
     Keeping this a single compiled call matters: eager per-op dispatch over
     the tunneled TPU backend costs ~ms per primitive."""
     canon, valid = extract_op.extract_canonical(words, lengths, k)
+    # positions past W*16-k can never hold a k-mer: slice them off so the
+    # chunk sorts never see those sentinel slots (k-1 columns, ~20% at
+    # typical short-read lengths)
+    P_eff = max(1, canon.shape[2] - (k - 1))
+    canon = canon[:, :, :P_eff]
+    valid = valid[:, :P_eff]
     L = canon.shape[0]
     folded = count_op.fold_sentinel(canon.reshape(L, -1), valid.reshape(-1))
     return folded, jnp.sum(valid.astype(jnp.int32))
@@ -442,10 +448,17 @@ def link_join(seqs: List[str], k: int) -> List[Tuple[int, str, int, str]]:
 
 
 def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
-                        cfg: EngineConfig) -> UnitigSet:
+                        cfg: EngineConfig, only_uf: bool = False,
+                        uf_stats: bool = False) -> UnitigSet:
     """Compaction + assembly + links from a host-side solid (kmer, count)
     table (resume entry point: the analog of re-entering
-    GraphUnitigs::create with counting already in storage)."""
+    GraphUnitigs::create with counting already in storage).
+
+    only_uf / uf_stats mirror the reference's glue debug flags
+    (`--only-uf`, `--uf-stats`, /root/reference/src/bcalm_1.cpp:26-27):
+    only_uf stops after chain labeling (no assembly/links); uf_stats adds
+    chain-class statistics to UnitigSet.stats.
+    """
     n_solid = int(solid_np.shape[1])
     if n_solid == 0:
         return UnitigSet(
@@ -462,11 +475,20 @@ def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
         [counts_np.astype(np.int32), np.zeros((cap - n_solid,), np.int32)]
     ))
     succ, out_deg, info = compact_solid(solid, counts, n_solid, cfg.k)
+    stats = {"solid_kmers": n_solid}
+    if uf_stats or only_uf:
+        stats.update(chain_stats(info, n_solid))
+    if only_uf:
+        return UnitigSet(
+            k=cfg.k, seqs=[], kc=np.zeros(0, np.int64), abundances=[],
+            circular=np.zeros(0, bool), links=[], stats=stats,
+        )
     seqs, kc, abund, circular = assemble_unitigs(solid, counts, info, cfg.k)
     links = link_join(seqs, cfg.k)
+    stats["unitigs"] = len(seqs)
     return UnitigSet(
         k=cfg.k, seqs=seqs, kc=kc, abundances=abund, circular=circular,
-        links=links, stats={"solid_kmers": n_solid, "unitigs": len(seqs)},
+        links=links, stats=stats,
     )
 
 
@@ -529,6 +551,80 @@ def count_and_filter(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig):
     stats["distinct_kmers"] = n_u
     stats["solid_kmers"] = int(solid_np.shape[1])
     return solid_np, solid_counts_np, histo, stats
+
+
+def combine_sample_counts(runs, kind: str = "sum"):
+    """Combine per-sample distinct (kmer, count) runs under a solidity kind
+    (gatb CountProcessorSolidity over multiple banks; hidden option
+    STR_SOLIDITY_KIND at /root/reference/src/bcalm_1.cpp:36):
+
+      sum — aggregate count = total over samples,
+      min — count in a sample where the k-mer is ABSENT is 0, so the min
+            passes a threshold only if the k-mer appears in every sample,
+      max — best count over samples.
+
+    runs: list of (lanes_np (L, n_i) uint32, counts_np (n_i,) int32).
+    Returns (lanes_np (L, n) sorted, counts_np (n,) int32).
+    """
+    runs = [r for r in runs if r[0].shape[1] > 0]
+    if not runs:
+        L = 1 if not runs else runs[0][0].shape[0]
+        return np.zeros((L, 0), np.uint32), np.zeros((0,), np.int32)
+    n_samples = len(runs)
+    lanes = np.concatenate([r[0] for r in runs], axis=1)
+    counts = np.concatenate([r[1] for r in runs])
+    L = lanes.shape[0]
+    order = np.lexsort(tuple(lanes[j] for j in reversed(range(L))))
+    lanes = lanes[:, order]
+    counts = counts[order]
+    first = np.ones(lanes.shape[1], bool)
+    if lanes.shape[1] > 1:
+        first[1:] = np.any(lanes[:, 1:] != lanes[:, :-1], axis=0)
+    starts = np.nonzero(first)[0]
+    sizes = np.diff(np.concatenate([starts, [lanes.shape[1]]]))
+    if kind == "sum":
+        agg = np.add.reduceat(counts.astype(np.int64), starts)
+    elif kind == "max":
+        agg = np.maximum.reduceat(counts, starts).astype(np.int64)
+    elif kind == "min":
+        agg = np.minimum.reduceat(counts, starts).astype(np.int64)
+        agg = np.where(sizes < n_samples, 0, agg)  # absent in a sample -> 0
+    else:
+        raise ValueError(f"unknown solidity kind: {kind}")
+    return lanes[:, starts], np.minimum(agg, 2**31 - 1).astype(np.int32)
+
+
+def auto_abundance_min(histogram: np.ndarray, cap: int = 20) -> int:
+    """Derive the abundance cutoff from the k-mer abundance histogram
+    (gatb's `-abundance-min auto`: first valley between the sequencing-error
+    peak at count 1 and the coverage peak, capped by
+    `-abundance-min-threshold`)."""
+    h = np.asarray(histogram, np.int64)
+    if h.size < 4:
+        return 2
+    # first local minimum after the initial descent (skip bin 0)
+    for i in range(2, min(h.size - 1, cap + 1)):
+        if h[i] <= h[i - 1] and h[i] <= h[i + 1]:
+            return max(2, min(i, cap))
+    return 2 if cap >= 2 else max(1, cap)
+
+
+def chain_stats(info: dict, n_solid: int) -> Dict:
+    """Chain-decomposition diagnostics — the analog of the reference UF's
+    `printStats` (`--uf-stats`, /root/reference/src/bcalm_1.cpp:27;
+    example/uf/testUF.cpp:39-40): class counts and size distribution of
+    the union-find replacement (pointer-jumped chains)."""
+    n_unitigs = int(info["n_unitigs"])
+    length = np.asarray(info["length"])[:n_unitigs].astype(np.int64)
+    circular = np.asarray(info["circular"])[:n_unitigs]
+    return {
+        "uf_classes": n_unitigs,
+        "uf_nodes": int(n_solid),
+        "uf_singletons": int((length == 1).sum()),
+        "uf_largest_class": int(length.max()) if n_unitigs else 0,
+        "uf_mean_class": float(length.mean()) if n_unitigs else 0.0,
+        "uf_circular_classes": int(circular.sum()),
+    }
 
 
 def build_from_seqs(seqs: Iterable[str], cfg: EngineConfig) -> UnitigSet:

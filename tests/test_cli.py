@@ -14,6 +14,11 @@ from bcalm_tpu.oracle import brute
 
 TINY = "ACTGCTGACTGAGTCATGTGTGGGT"
 
+def _canon(s):
+    from bcalm_tpu.utils.dna import revcomp
+    return min(s, revcomp(s))
+
+
 
 def write_fasta_file(path, seqs):
     with open(path, "w") as f:
@@ -143,3 +148,76 @@ def test_solid_kmers_out(tmp_path):
     got = {l.split("\t")[0]: int(l.split("\t")[1]) for l in lines}
     expect = brute.count_kmers([TINY], 13)
     assert {brute.str2num(s): c for s, c in got.items()} == expect
+
+
+def test_only_uf_and_uf_stats(tmp_path, capsys):
+    """--only-uf / --uf-stats analogs (src/bcalm_1.cpp:26-27): stop after
+    chain labeling, print class stats; no unitigs file is written."""
+    fa = tmp_path / "r.fa"
+    write_fasta_file(fa, [TINY])
+    out = tmp_path / "r"
+    rc = cli.main(["-in", str(fa), "-kmer-size", "13", "-abundance-min", "1",
+                   "-out", str(out), "-only-uf", "-uf-stats"])
+    assert rc == 0
+    assert not os.path.exists(str(out) + ".unitigs.fa")
+    text = capsys.readouterr().out
+    assert "uf_classes" in text and "only-uf" in text
+    # full run with -uf-stats still writes output + stats
+    rc = cli.main(["-in", str(fa), "-kmer-size", "13", "-abundance-min", "1",
+                   "-out", str(out), "-uf-stats"])
+    assert rc == 0
+    assert os.path.exists(str(out) + ".unitigs.fa")
+    assert "uf_classes" in capsys.readouterr().out
+
+
+def test_solidity_kinds(tmp_path):
+    """Multi-sample solidity (hidden STR_SOLIDITY_KIND, bcalm_1.cpp:36):
+    min = k-mer must be solid across ALL samples, max = best sample."""
+    s1 = "ACTGCTGACTGAGTCA"   # sample 1 only
+    s2 = "GGTCATCGGCATATAG"   # sample 2 only
+    both = "TTTACGCATCGAATCC"  # in both samples
+    f1 = tmp_path / "s1.fa"
+    f2 = tmp_path / "s2.fa"
+    write_fasta_file(f1, [s1, both])
+    write_fasta_file(f2, [s2, both])
+    album = tmp_path / "album.txt"
+    album.write_text(f"{f1}\n{f2}\n")
+
+    def run(kind, tag):
+        out = tmp_path / f"out_{tag}"
+        rc = cli.main(["-in", str(album), "-kmer-size", "13",
+                       "-abundance-min", "1", "-solidity-kind", kind,
+                       "-out", str(out)])
+        assert rc == 0
+        seqs, _ = fasta_writer.parse_unitigs_fasta(str(out) + ".unitigs.fa")
+        return set().union(*[
+            {_canon(seq[i:i + 13]) for i in range(len(seq) - 12)}
+            for seq in seqs
+        ]) if seqs else set()
+
+    def kmers(seq):
+        return {_canon(seq[i:i + 13]) for i in range(len(seq) - 12)}
+
+    assert run("min", "min") == kmers(both)
+    assert run("max", "max") == kmers(s1) | kmers(s2) | kmers(both)
+    assert run("sum", "sum") == kmers(s1) | kmers(s2) | kmers(both)
+
+
+def test_abundance_min_auto(tmp_path):
+    """`-abundance-min auto` picks the histogram valley (gatb auto cutoff,
+    capped by -abundance-min-threshold)."""
+    # noise k-mers at abundance 1, signal at abundance 8
+    signal = "ACTGCTGACTGAGTCATGTGTGGGT"
+    noise = "GGTCATCGGCATATAGCCATTGAC"
+    fa = tmp_path / "r.fa"
+    write_fasta_file(fa, [signal] * 8 + [noise])
+    out = tmp_path / "auto"
+    rc = cli.main(["-in", str(fa), "-kmer-size", "13",
+                   "-abundance-min", "auto", "-out", str(out)])
+    assert rc == 0
+    seqs, _ = fasta_writer.parse_unitigs_fasta(str(out) + ".unitigs.fa")
+    got = set()
+    for seq in seqs:
+        got |= {_canon(seq[i:i + 13]) for i in range(len(seq) - 12)}
+    want = {_canon(signal[i:i + 13]) for i in range(len(signal) - 12)}
+    assert got == want  # noise filtered, signal kept

@@ -109,3 +109,37 @@ def test_repeat_heavy():
 def test_abundance_max():
     seqs = ["ACGTTGCATGCAAGGT"] * 5 + ["TTGCATGCA"]
     compare(seqs, 7, amin=1, amax=5)
+
+
+def test_combine_sample_counts_kinds():
+    """Solidity-kind combination semantics (gatb CountProcessorSolidity over
+    multiple banks): sum/min/max with absence-as-zero for min."""
+    import numpy as np
+    from bcalm_tpu import engine
+
+    # lanes encode 3 distinct k-mers: a, b, c (1-lane keys for simplicity)
+    a, b, c = 10, 20, 30
+    run1 = (np.array([[a, b]], np.uint32), np.array([3, 5], np.int32))
+    run2 = (np.array([[b, c]], np.uint32), np.array([2, 7], np.int32))
+
+    lanes, agg = engine.combine_sample_counts([run1, run2], "sum")
+    assert lanes[0].tolist() == [a, b, c]
+    assert agg.tolist() == [3, 7, 7]
+
+    _, agg = engine.combine_sample_counts([run1, run2], "min")
+    assert agg.tolist() == [0, 2, 0]  # a, c absent from one sample
+
+    _, agg = engine.combine_sample_counts([run1, run2], "max")
+    assert agg.tolist() == [3, 5, 7]
+
+
+def test_auto_abundance_min():
+    import numpy as np
+    from bcalm_tpu import engine
+
+    # classic bimodal histogram: error peak at 1, valley at 3, peak at 8
+    h = np.array([0, 1000, 300, 20, 35, 80, 200, 400, 500, 300, 100])
+    assert engine.auto_abundance_min(h) == 3
+    assert engine.auto_abundance_min(h, cap=2) == 2
+    # monotone histogram: falls back to 2
+    assert engine.auto_abundance_min(np.array([0, 9, 8, 7, 6, 5, 4])) == 2

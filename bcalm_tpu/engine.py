@@ -103,10 +103,14 @@ def _refold_tail(unique, n_u):
     return jnp.where((idx < n_u)[None], unique, count_op.SENTINEL)
 
 
-@jax.jit
+@_partial(jax.jit, donate_argnums=(0,))
 def _chunk_insert(buf, piece, offset):
     """Write a fixed-size folded block into the chunk buffer at a traced
-    offset (single compiled shape regardless of fill level)."""
+    offset (single compiled shape regardless of fill level).
+
+    The buffer is DONATED: XLA updates it in place instead of copying the
+    whole (L, chunk_cap) allocation per block insert (the caller always
+    rebinds its reference to the result)."""
     return jax.lax.dynamic_update_slice(buf, piece, (0, offset))
 
 
@@ -160,9 +164,9 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         return u, counts[:cap], n_u
 
     def fresh_buf():
-        # chunk_cap is a power of two (the bitonic sort's shape class);
-        # the extra F columns are slack so block inserts never straddle —
-        # a flush counts exactly [:chunk_cap] and carries the tail over
+        # chunk_cap is a power of two (the sort's shape class); the extra
+        # F columns are slack so block inserts never straddle — a flush
+        # counts exactly [:chunk_cap] and carries the tail over
         return jnp.full((L, chunk_cap + block_F), count_op.SENTINEL,
                         jnp.uint32)
 
@@ -223,9 +227,14 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         if chunk_fill >= chunk_cap:
             flush()
     flush()
-    settle_pending()
 
     stats = {"reads": n_reads, "bases": n_bases, "kmer_occurrences": n_occ}
+    if pending is not None and not partials:
+        # single-chunk dataset: the run needs no trim (callers re-slice to
+        # the final capacity) and no n_unique sync here (callers fetch it)
+        unique, counts, n_dev = pending
+        return unique, counts, n_dev, stats
+    settle_pending()
     if not partials:
         empty = jnp.zeros((L, 16), dtype=jnp.uint32)
         return empty, jnp.zeros((16,), jnp.int32), jnp.asarray(0, jnp.int32), stats
@@ -261,10 +270,12 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         unique, counts, n_unique = count_op.count_canonical(
             lanes, valid, weights=weights, weighted=True
         )
-        merged = trim(unique, counts, int(n_unique))
-        partials = rest + [merged] if rest else [merged]
         if not rest:
-            break
+            # final merge round: skip the trim + n_unique sync (callers
+            # re-slice to the final capacity and fetch n themselves)
+            return unique, counts, n_unique, stats
+        merged = trim(unique, counts, int(n_unique))
+        partials = rest + [merged]
     unique, counts, n_u = partials[0]
     return unique, counts, jnp.asarray(n_u, jnp.int32), stats
 

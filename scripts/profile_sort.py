@@ -5,6 +5,11 @@ super-linear, so smaller chunks + weighted merges can beat one big sort),
 sort operand width (keys vs payloads both pay data movement), and the
 gather/scatter index rates that rule out occurrence-scale scatters.
 
+NOTE: on the tunneled axon backend `jax.block_until_ready` does not
+reliably block, so each timed call fetches one element of every output
+buffer to the host — a buffer's first byte is only available once the
+whole computation wrote it.
+
     python scripts/profile_sort.py
 """
 
@@ -21,13 +26,15 @@ sys.path.insert(0, ".")
 def t(fn, *args, n=5):
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    def force(out):
+        for leaf in jax.tree_util.tree_leaves(out):
+            np.asarray(jax.device_get(leaf[..., :1]))
+
+    force(fn(*args))  # warm / compile
     times = []
     for _ in range(n):
         t0 = time.time()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        force(fn(*args))
         times.append(time.time() - t0)
     return min(times)
 
@@ -42,7 +49,7 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     rng = np.random.RandomState(0)
 
-    for logn in (21, 22, 23, 24, 25):
+    for logn in (22, 23, 24, 25):
         N = 1 << logn
         arrs = [jnp.asarray(rng.randint(0, 2**32, N, np.uint64).astype(np.uint32))
                 for _ in range(5)]

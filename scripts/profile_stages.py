@@ -18,15 +18,23 @@ sys.path.insert(0, ".")
 
 
 def t(fn, *args, n=3, **kw):
+    """Timing helper.  NOTE: on the tunneled axon backend
+    jax.block_until_ready does not reliably block, so each timed call
+    fetches one element of every output buffer to the host instead."""
     import jax
 
+    def force(out):
+        for leaf in jax.tree_util.tree_leaves(out):
+            if hasattr(leaf, "shape"):
+                np.asarray(jax.device_get(leaf[..., :1]))
+
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    force(out)
     times = []
     for _ in range(n):
         t0 = time.time()
         out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        force(out)
         times.append(time.time() - t0)
     return min(times), out
 

@@ -221,6 +221,42 @@ def main(argv: Optional[List[str]] = None) -> int:
                 print(f"stored counts unusable ({e}); recounting")
             solid = None
 
+    # multi-chip build: -devices N > 1 runs the mesh-sharded counting +
+    # compaction pipeline (parallel.pipeline / parallel.distcompact);
+    # the reference has no analog (single node, SURVEY.md §3.3)
+    n_dev_req = props.get_int("-devices")
+    if solid is None and n_dev_req > 1:
+        if not os.path.exists(in_path):
+            print(f"input not found: {in_path}", file=sys.stderr)
+            return 1
+        import jax
+
+        from bcalm_tpu.parallel import pipeline as par
+
+        avail = len(jax.devices())
+        if n_dev_req > avail:
+            print(f"-devices {n_dev_req}: only {avail} devices available",
+                  file=sys.stderr)
+            return 1
+        bank = bank_mod.Bank.open(in_path)
+        mesh = par.make_mesh(n_dev_req)
+        with ti.timer("build_distributed"):
+            us = par.distributed_build(bank.sequences(), cfg, mesh)
+        with ti.timer("write"):
+            with open(unitigs_path, "w") as f:
+                fasta_writer.write_fasta(
+                    us, f,
+                    all_abundance_counts=props.get_bool("-all-abundance-counts"),
+                )
+        if verbose:
+            print(f"wrote {len(us.seqs)} unitigs -> {unitigs_path} "
+                  f"({mesh.devices.size} devices)")
+            for key, val in sorted(us.stats.items()):
+                print(f"    [{key}] {val}")
+            for name, secs in ti.report().items():
+                print(f"    [time:{name}] {secs:.2f}s")
+        return 0
+
     if solid is None:
         if not os.path.exists(in_path):
             print(f"input not found: {in_path}", file=sys.stderr)

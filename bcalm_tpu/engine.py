@@ -45,10 +45,11 @@ class EngineConfig:
     max_len: int = 512
     histo_max: int = 10000
     # counting chunk size in k-mer slots: bounds device memory (the analog
-    # of the reference's -max-memory driven pass/partition sizing,
-    # gatb ConfigurationAlgorithm).  ~16M slots * (L+1) u32 stays well
-    # under one v5e chip's HBM including sort workspace.
-    chunk_kmers: int = 16 * 1024 * 1024
+    # of the reference's -max-memory driven pass/partition sizing, gatb
+    # ConfigurationAlgorithm).  2^23 measured fastest on v5e at 24x
+    # coverage (lax.sort is super-linear: chunk A/B at 2^22/23/24/25 gave
+    # 658/467/496/609 ms per 19.2M occurrences); far under HBM limits.
+    chunk_kmers: int = 8 * 1024 * 1024
 
 
 @dataclass

@@ -19,8 +19,8 @@ parallel.pipeline (sharded counting):
 
 All exchanges are fixed-capacity with psum'd overflow detection (never
 silent).  This module provides the building blocks + a host-driven
-`distributed_compact` used by tests; wiring into the CLI awaits per-device
-output sharding.
+`distributed_compact`; the CLI routes through it via `-devices N`
+(pipeline.distributed_build).
 """
 
 from __future__ import annotations

@@ -88,7 +88,7 @@ def main():
     genome_len = int(os.environ.get("BENCH_GENOME", 1_000_000))
     read_len = int(os.environ.get("BENCH_READ_LEN", 150))
     coverage = int(os.environ.get("BENCH_COVERAGE", 24))
-    chunk = int(os.environ.get("BENCH_CHUNK", 16 * 1024 * 1024))
+    chunk = int(os.environ.get("BENCH_CHUNK", 8 * 1024 * 1024))
 
     cfg = engine.EngineConfig(k=k, abundance_min=2, block_reads=8192,
                               max_len=read_len, chunk_kmers=chunk)

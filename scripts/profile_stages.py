@@ -53,7 +53,7 @@ def main():
 
     k = 31
     cfg = engine.EngineConfig(k=k, abundance_min=2, block_reads=8192,
-                              max_len=150, chunk_kmers=16 * 1024 * 1024)
+                              max_len=150, chunk_kmers=8 * 1024 * 1024)
     reads = gen_reads(1_000_000, 150, 24)
     words = pack_uniform(reads)
     blocks = make_blocks(words, 150, cfg.block_reads)
@@ -79,7 +79,10 @@ def main():
     L = folded.shape[0]
     chunk_cap = max(1, -(-cfg.chunk_kmers // F)) * F
     buf = jnp.full((L, chunk_cap), count_op.SENTINEL, jnp.uint32)
-    dt, buf = t(engine._chunk_insert, buf, folded, jnp.asarray(0, jnp.int32))
+    # non-donating insert for repeated timing (engine._chunk_insert donates
+    # its buffer, so re-timing it with the same argument would fail)
+    ins = jax.jit(lambda b, p, o: jax.lax.dynamic_update_slice(b, p, (0, o)))
+    dt, buf = t(ins, buf, folded, jnp.asarray(0, jnp.int32))
     print(f"chunk_insert: {dt*1e3:.2f} ms ({buf.nbytes/1e6:.0f} MB buffer)",
           flush=True)
 
@@ -90,7 +93,7 @@ def main():
                                      jnp.asarray(b.lengths), k)
         if fill + F > chunk_cap:
             break
-        buf = engine._chunk_insert(buf, fo, jnp.asarray(fill, jnp.int32))
+        buf = ins(buf, fo, jnp.asarray(fill, jnp.int32))
         fill += F
     valid = ~jnp.all(buf == count_op.SENTINEL, axis=0)
     jax.block_until_ready(valid)

@@ -221,3 +221,40 @@ def test_abundance_min_auto(tmp_path):
         got |= {_canon(seq[i:i + 13]) for i in range(len(seq) - 12)}
     want = {_canon(signal[i:i + 13]) for i in range(len(signal) - 12)}
     assert got == want  # noise filtered, signal kept
+
+
+def test_devices_flag_distributed_build(tmp_path):
+    """-devices N > 1 routes through the mesh-sharded build (the conftest
+    provides 8 virtual CPU devices) and produces oracle-equal output."""
+    import random
+    rng = random.Random(3)
+    genome = "".join(rng.choice("ACTG") for _ in range(300))
+    reads = [genome[i:i + 60] for i in range(0, 240, 9)]
+    fa = tmp_path / "r.fa"
+    write_fasta_file(fa, reads)
+    out1 = tmp_path / "single"
+    out4 = tmp_path / "mesh"
+    for out, dev in ((out1, []), (out4, ["-devices", "4"])):
+        rc = cli.main(["-in", str(fa), "-kmer-size", "21",
+                       "-abundance-min", "1", "-out", str(out)] + dev)
+        assert rc == 0
+    s1, _ = fasta_writer.parse_unitigs_fasta(str(out1) + ".unitigs.fa")
+    s4, _ = fasta_writer.parse_unitigs_fasta(str(out4) + ".unitigs.fa")
+    assert brute.canonical_unitig_set(s1) == brute.canonical_unitig_set(s4)
+
+
+def test_legacy_flags_accepted(tmp_path):
+    """Legacy/hidden reference flags parse and run (parity acceptance:
+    -nb-glue-partitions, -max-disk, -histo-max, -minimizer-type...)."""
+    fa = tmp_path / "r.fa"
+    write_fasta_file(fa, [TINY])
+    rc = cli.main([
+        "-in", str(fa), "-kmer-size", "13", "-abundance-min", "1",
+        "-out", str(tmp_path / "o"),
+        "-nb-glue-partitions", "200", "-max-disk", "3000",
+        "-histo-max", "500", "-minimizer-type", "1",
+        "-minimizer-size", "5", "-repartition-type", "1",
+        "-nb-cores", "2", "-abundance-min-threshold", "5",
+    ])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "o") + ".unitigs.fa")

@@ -143,3 +143,16 @@ def test_auto_abundance_min():
     assert engine.auto_abundance_min(h, cap=2) == 2
     # monotone histogram: falls back to 2
     assert engine.auto_abundance_min(np.array([0, 9, 8, 7, 6, 5, 4])) == 2
+
+
+@pytest.mark.parametrize("k", [33, 51, 63])
+def test_large_k_end_to_end(k):
+    """Multi-lane k-mer spans (k > 32: 3-4 uint32 lanes) through the full
+    pipeline vs the oracle — the BASELINE configs go to k=63 (the analog
+    of the reference's KSIZE_LIST 64-span instantiation, README.md:93-99)."""
+    rng = random.Random(k)
+    genome = "".join(rng.choice("ACTG") for _ in range(400))
+    reads = [genome[i:i + 90] for i in range(0, 310, 7)]
+    compare(reads, k, amin=1)
+    # abundance filtering at large k: duplicate half the reads, amin=2
+    compare(reads + reads[::2], k, amin=2)

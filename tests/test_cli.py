@@ -258,3 +258,24 @@ def test_legacy_flags_accepted(tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(str(tmp_path / "o") + ".unitigs.fa")
+
+
+def test_skip_bcalm_resume(tmp_path, capsys):
+    """Resume workflow (scripts/pufferize.py:143 analog): a run stopped
+    after counting (-only-uf keeps the store) is resumed from stored
+    counts without re-reading the input."""
+    fa = tmp_path / "r.fa"
+    write_fasta_file(fa, [TINY])
+    out = tmp_path / "r"
+    rc = cli.main(["-in", str(fa), "-kmer-size", "13", "-abundance-min", "1",
+                   "-out", str(out), "-only-uf"])
+    assert rc == 0
+    capsys.readouterr()
+    # delete the input: resume must come from the store alone
+    os.unlink(fa)
+    rc = cli.main(["-in", str(fa), "-kmer-size", "13", "-abundance-min", "1",
+                   "-out", str(out), "-skip-bcalm"])
+    assert rc == 0
+    assert "reusing stored counts" in capsys.readouterr().out
+    seqs, _ = fasta_writer.parse_unitigs_fasta(str(out) + ".unitigs.fa")
+    assert brute.unitig_key(seqs[0]) == brute.unitig_key(TINY)

@@ -205,21 +205,47 @@ def main(argv: Optional[List[str]] = None) -> int:
     engine.configure_chunk(cfg, props.get_int("-max-memory"))
     solidity_kind = props.get_str("-solidity-kind")
     store = Store(prefix)
+    skip_bcalm = props.get_bool("-skip-bcalm")
+    skip_bglue = props.get_bool("-skip-bglue")
 
     solid = counts = histo = None
     stats = {}
-    if store.exists():
+    if skip_bcalm:
+        # EXPLICIT resume only (scripts/pufferize.py:143 semantics): a
+        # store is never reused implicitly, and the stored counting
+        # parameters are validated — reusing post-filter counts with a
+        # LOWER cutoff would silently drop k-mers, so that is refused; a
+        # HIGHER cutoff is re-filtered from the stored counts.
+        if not store.exists():
+            print(f"-skip-bcalm: no stored counts at {store.path}",
+                  file=sys.stderr)
+            return 1
         try:
             with ti.timer("load_counts"):
                 solid, counts = store.read_counts(k)
-            histo = store.read_histogram()
-            if verbose:
-                print(f"reusing stored counts: {solid.shape[1]} solid k-mers "
-                      f"({store.path})")
         except ValueError as e:
-            if verbose:
-                print(f"stored counts unusable ({e}); recounting")
-            solid = None
+            print(f"-skip-bcalm: {e}", file=sys.stderr)
+            return 1
+        scfg = store.config()
+        stored_amin = int(scfg.get("abundance_min", 1))
+        stored_amax = int(scfg.get("abundance_max", 2**31 - 1))
+        if auto_amin:
+            cfg.abundance_min = stored_amin
+        if cfg.abundance_min < stored_amin or cfg.abundance_max > stored_amax:
+            print(
+                f"-skip-bcalm: stored counts were filtered at abundance "
+                f"[{stored_amin}, {stored_amax}]; cannot widen to "
+                f"[{cfg.abundance_min}, {cfg.abundance_max}] — recount "
+                f"without -skip-bcalm", file=sys.stderr)
+            return 1
+        if cfg.abundance_min > stored_amin or cfg.abundance_max < stored_amax:
+            keep = ((counts >= cfg.abundance_min)
+                    & (counts <= cfg.abundance_max))
+            solid, counts = solid[:, keep], counts[keep]
+        histo = store.read_histogram()
+        if verbose:
+            print(f"reusing stored counts: {solid.shape[1]} solid k-mers "
+                  f"({store.path})")
 
     # multi-chip build: -devices N > 1 runs the mesh-sharded counting +
     # compaction pipeline (parallel.pipeline / parallel.distcompact);
@@ -291,7 +317,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                     runs.append((s_i, c_i))
                     for key in ("reads", "bases", "kmer_occurrences"):
                         stats[key] = stats.get(key, 0) + st.get(key, 0)
-                lanes, agg = engine.combine_sample_counts(runs, solidity_kind)
+                lanes, agg = engine.combine_sample_counts(
+                    runs, solidity_kind, k=cfg.k)
                 histo = np.bincount(
                     np.minimum(agg, cfg.histo_max),
                     minlength=cfg.histo_max + 1).astype(np.int32)
@@ -317,8 +344,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             if auto_amin and verbose:
                 print(f"auto abundance-min = {cfg.abundance_min}")
         with ti.timer("store"):
-            store.write_counts(solid, counts, k, histogram=histo,
-                               config={"abundance_min": cfg.abundance_min})
+            store.write_counts(
+                solid, counts, k, histogram=histo,
+                config={"abundance_min": cfg.abundance_min,
+                        "abundance_max": cfg.abundance_max,
+                        "solidity_kind": solidity_kind})
 
     solid_out = props.get_str("-solid-kmers-out")
     if solid_out:
@@ -329,12 +359,36 @@ def main(argv: Optional[List[str]] = None) -> int:
                         f"{int(counts[i])}\n")
 
     only_uf = props.get_bool("-only-uf")
+    chain_info = None
+    if skip_bglue:
+        # resume from the chain-decomposition checkpoint (written by
+        # -only-uf) — the glue-file analog of the reference's staged
+        # pipeline (unitigs.fa.glue* files, test/simple_test.sh:6)
+        if not (skip_bcalm and store.has_chains()):
+            print("-skip-bglue: no chain checkpoint in store (run with "
+                  "-only-uf first, resume with -skip-bcalm -skip-bglue)",
+                  file=sys.stderr)
+            return 1
+        try:
+            chain_info = store.read_chains(k, int(solid.shape[1]))
+        except ValueError as e:
+            print(f"-skip-bglue: {e}", file=sys.stderr)
+            return 1
+        if verbose:
+            print("reusing stored chain decomposition (skip-bglue)")
     with ti.timer("compact"):
-        us = engine.compact_from_counts(
-            solid, counts, cfg, only_uf=only_uf,
-            uf_stats=props.get_bool("-uf-stats"))
+        try:
+            us = engine.compact_from_counts(
+                solid, counts, cfg, only_uf=only_uf,
+                uf_stats=props.get_bool("-uf-stats"),
+                chain_info=chain_info)
+        except ValueError as e:
+            print(f"-skip-bglue: {e}", file=sys.stderr)
+            return 1
     us.stats.update(stats)
     us.histogram = histo
+    if only_uf and us.chain_info is not None:
+        store.write_chains(us.chain_info, k, int(solid.shape[1]))
 
     if not only_uf:
         with ti.timer("write"):

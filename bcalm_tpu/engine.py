@@ -64,6 +64,7 @@ class UnitigSet:
     links: List[Tuple[int, str, int, str]] = field(default_factory=list)
     histogram: Optional[np.ndarray] = None
     stats: Dict = field(default_factory=dict)
+    chain_info: Optional[Dict] = None  # raw chain decomposition (checkpoint)
 
     @property
     def km(self) -> np.ndarray:
@@ -461,7 +462,8 @@ def link_join(seqs: List[str], k: int) -> List[Tuple[int, str, int, str]]:
 
 def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
                         cfg: EngineConfig, only_uf: bool = False,
-                        uf_stats: bool = False) -> UnitigSet:
+                        uf_stats: bool = False,
+                        chain_info: Optional[Dict] = None) -> UnitigSet:
     """Compaction + assembly + links from a host-side solid (kmer, count)
     table (resume entry point: the analog of re-entering
     GraphUnitigs::create with counting already in storage).
@@ -470,6 +472,10 @@ def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
     (`--only-uf`, `--uf-stats`, /root/reference/src/bcalm_1.cpp:26-27):
     only_uf stops after chain labeling (no assembly/links); uf_stats adds
     chain-class statistics to UnitigSet.stats.
+
+    chain_info: a previously checkpointed chain decomposition (the
+    `-skip-bglue` resume path — the glue-file analog).  Must have been
+    computed for exactly this solid set (validated by array size).
     """
     n_solid = int(solid_np.shape[1])
     if n_solid == 0:
@@ -486,7 +492,15 @@ def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
     counts = jnp.asarray(np.concatenate(
         [counts_np.astype(np.int32), np.zeros((cap - n_solid,), np.int32)]
     ))
-    succ, out_deg, info = compact_solid(solid, counts, n_solid, cfg.k)
+    if chain_info is not None:
+        if np.asarray(chain_info["uid"]).shape[0] != 2 * cap:
+            raise ValueError(
+                "chain checkpoint is stale (solid set size changed); "
+                "rerun without -skip-bglue"
+            )
+        info = chain_info
+    else:
+        succ, out_deg, info = compact_solid(solid, counts, n_solid, cfg.k)
     stats = {"solid_kmers": n_solid}
     if uf_stats or only_uf:
         stats.update(chain_stats(info, n_solid))
@@ -494,6 +508,7 @@ def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
         return UnitigSet(
             k=cfg.k, seqs=[], kc=np.zeros(0, np.int64), abundances=[],
             circular=np.zeros(0, bool), links=[], stats=stats,
+            chain_info={key: np.asarray(val) for key, val in info.items()},
         )
     seqs, kc, abund, circular = assemble_unitigs(solid, counts, info, cfg.k)
     links = link_join(seqs, cfg.k)
@@ -565,7 +580,7 @@ def count_and_filter(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig):
     return solid_np, solid_counts_np, histo, stats
 
 
-def combine_sample_counts(runs, kind: str = "sum"):
+def combine_sample_counts(runs, kind: str = "sum", k: Optional[int] = None):
     """Combine per-sample distinct (kmer, count) runs under a solidity kind
     (gatb CountProcessorSolidity over multiple banks; hidden option
     STR_SOLIDITY_KIND at /root/reference/src/bcalm_1.cpp:36):
@@ -580,7 +595,7 @@ def combine_sample_counts(runs, kind: str = "sum"):
     """
     runs = [r for r in runs if r[0].shape[1] > 0]
     if not runs:
-        L = 1 if not runs else runs[0][0].shape[0]
+        L = ln.num_lanes(k) if k is not None else 1
         return np.zeros((L, 0), np.uint32), np.zeros((0,), np.int32)
     n_samples = len(runs)
     lanes = np.concatenate([r[0] for r in runs], axis=1)

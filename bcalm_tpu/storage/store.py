@@ -63,6 +63,43 @@ class Store:
         data = np.load(os.path.join(self.path, "solid.npz"))
         return data["lanes"], data["counts"]
 
+    def config(self) -> Dict:
+        """Stored counting parameters (abundance_min/max, solidity kind) —
+        validated on resume so a stale store can never silently produce
+        wrong output (a lower new cutoff cannot be served from post-filter
+        counts; a higher one is re-filtered by the caller)."""
+        return self._manifest().get("config", {})
+
+    # -- chain-decomposition checkpoint (the glue-file analog:
+    # -only-uf persists it, -skip-bglue resumes from it; reference stage
+    # boundary evidenced by scripts/pufferize.py:143 + the on-disk
+    # *.glue* files of test/simple_test.sh:6) --
+
+    def write_chains(self, info: Dict, k: int, n_solid: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        arrays = {key: np.asarray(val) for key, val in info.items()}
+        np.savez_compressed(os.path.join(self.path, "chains.npz"),
+                            k=np.int64(k), n_solid=np.int64(n_solid),
+                            **arrays)
+
+    def has_chains(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "chains.npz"))
+
+    def read_chains(self, k: int, n_solid: int) -> Dict:
+        data = np.load(os.path.join(self.path, "chains.npz"))
+        if int(data["k"]) != k:
+            raise ValueError(
+                f"stored chains are for k={int(data['k'])}, requested k={k}"
+            )
+        if int(data["n_solid"]) != n_solid:
+            raise ValueError(
+                f"chain checkpoint is stale (built for {int(data['n_solid'])} "
+                f"solid k-mers, current set has {n_solid}); rerun without "
+                f"-skip-bglue"
+            )
+        return {key: data[key] for key in data.files
+                if key not in ("k", "n_solid")}
+
     def read_histogram(self) -> Optional[np.ndarray]:
         p = os.path.join(self.path, "histogram.npy")
         return np.load(p) if os.path.exists(p) else None

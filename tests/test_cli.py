@@ -279,3 +279,119 @@ def test_skip_bcalm_resume(tmp_path, capsys):
     assert "reusing stored counts" in capsys.readouterr().out
     seqs, _ = fasta_writer.parse_unitigs_fasta(str(out) + ".unitigs.fa")
     assert brute.unitig_key(seqs[0]) == brute.unitig_key(TINY)
+
+
+# ---------------------------------------------------------------------------
+# resume correctness: stored counting parameters are validated on reuse
+# (round-1 VERDICT confirmed bug: implicit reuse ignored -abundance-min)
+# ---------------------------------------------------------------------------
+
+# minitip-style fixture: two abundant overlapping reads + one single-copy
+# tip read, so -abundance-min 1 and 3 give different unitig sets
+_AB_SEQS = (["CAGGCAATGAGATGATAACATGATAGA"] * 3
+            + ["ATGATAACATGATAGATGAGACCAATT"] * 3
+            + ["TAACATGATAGATCCCGGGTTTAAACC"])
+
+
+def _amin_build(tmp_path, name, amin, extra=()):
+    fa = tmp_path / f"{name}.fa"
+    write_fasta_file(fa, _AB_SEQS)
+    out = tmp_path / name
+    rc = cli.main(["-in", str(fa), "-kmer-size", "13", "-abundance-min",
+                   str(amin), "-out", str(out)] + list(extra))
+    return rc, str(out) + ".unitigs.fa", out
+
+
+def _unitig_set(path):
+    seqs, _ = fasta_writer.parse_unitigs_fasta(path)
+    return sorted(_canon(s) for s in seqs)
+
+
+def test_no_implicit_store_reuse(tmp_path):
+    """A leftover store must NOT be reused without -skip-bcalm: rerunning
+    with a different -abundance-min must recount (round-1 repro: reuse
+    produced abundance-1 unitigs under -abundance-min 3)."""
+    rc, _, out = _amin_build(tmp_path, "a", 1, extra=["-only-uf"])
+    assert rc == 0
+    assert os.path.isdir(str(out) + "_btpu")  # store kept by -only-uf
+    # fresh ground truth at amin=3 from a separate prefix
+    rc, truth_path, _ = _amin_build(tmp_path, "truth", 3)
+    assert rc == 0
+    # rerun over the stale store WITHOUT -skip-bcalm: must recount
+    rc, upath, _ = _amin_build(tmp_path, "a", 3)
+    assert rc == 0
+    assert _unitig_set(upath) == _unitig_set(truth_path)
+
+
+def test_skip_bcalm_refilters_higher_amin(tmp_path):
+    """-skip-bcalm with a HIGHER cutoff re-filters the stored counts."""
+    rc, _, out = _amin_build(tmp_path, "b", 1, extra=["-only-uf"])
+    assert rc == 0
+    rc, truth_path, _ = _amin_build(tmp_path, "truth2", 3)
+    assert rc == 0
+    fa = tmp_path / "b.fa"
+    os.unlink(fa)  # resume must not need the input
+    rc = cli.main(["-in", str(fa), "-kmer-size", "13", "-abundance-min", "3",
+                   "-out", str(out), "-skip-bcalm"])
+    assert rc == 0
+    assert _unitig_set(str(out) + ".unitigs.fa") == _unitig_set(truth_path)
+
+
+def test_skip_bcalm_lower_amin_refused(tmp_path, capsys):
+    """-skip-bcalm with a LOWER cutoff cannot be served from post-filter
+    counts: refuse loudly instead of producing wrong output."""
+    rc, _, out = _amin_build(tmp_path, "c", 3, extra=["-only-uf"])
+    assert rc == 0
+    fa = tmp_path / "c.fa"
+    rc = cli.main(["-in", str(fa), "-kmer-size", "13", "-abundance-min", "1",
+                   "-out", str(out), "-skip-bcalm"])
+    assert rc == 1
+    assert "cannot widen" in capsys.readouterr().err
+
+
+def test_skip_bcalm_wrong_k_refused(tmp_path, capsys):
+    rc, _, out = _amin_build(tmp_path, "d", 1, extra=["-only-uf"])
+    assert rc == 0
+    rc = cli.main(["-in", str(tmp_path / "d.fa"), "-kmer-size", "15",
+                   "-abundance-min", "1", "-out", str(out), "-skip-bcalm"])
+    assert rc == 1
+    assert "k=13" in capsys.readouterr().err
+
+
+def test_skip_bglue_resume(tmp_path, capsys):
+    """-only-uf checkpoints the chain decomposition; -skip-bcalm
+    -skip-bglue resumes from it (the glue-file stage boundary)."""
+    rc, _, out = _amin_build(tmp_path, "e", 1, extra=["-only-uf"])
+    assert rc == 0
+    rc, truth_path, _ = _amin_build(tmp_path, "truth3", 1)
+    assert rc == 0
+    capsys.readouterr()
+    os.unlink(tmp_path / "e.fa")
+    rc = cli.main(["-in", str(tmp_path / "e.fa"), "-kmer-size", "13",
+                   "-abundance-min", "1", "-out", str(out),
+                   "-skip-bcalm", "-skip-bglue"])
+    assert rc == 0
+    assert "reusing stored chain decomposition" in capsys.readouterr().out
+    assert _unitig_set(str(out) + ".unitigs.fa") == _unitig_set(truth_path)
+
+
+def test_skip_bglue_stale_checkpoint_refused(tmp_path, capsys):
+    """Raising -abundance-min changes the solid set, so the chain
+    checkpoint is stale: -skip-bglue must refuse."""
+    rc, _, out = _amin_build(tmp_path, "f", 1, extra=["-only-uf"])
+    assert rc == 0
+    rc = cli.main(["-in", str(tmp_path / "f.fa"), "-kmer-size", "13",
+                   "-abundance-min", "3", "-out", str(out),
+                   "-skip-bcalm", "-skip-bglue"])
+    assert rc == 1
+    assert "stale" in capsys.readouterr().err
+
+
+def test_skip_bglue_without_checkpoint_refused(tmp_path, capsys):
+    rc, _, out = _amin_build(tmp_path, "g", 1)
+    assert rc == 0  # full run removes the store
+    rc = cli.main(["-in", str(tmp_path / "g.fa"), "-kmer-size", "13",
+                   "-abundance-min", "1", "-out", str(out),
+                   "-skip-bcalm", "-skip-bglue"])
+    assert rc == 1
+    assert "no stored counts" in capsys.readouterr().err

@@ -50,6 +50,13 @@ class EngineConfig:
     # coverage (lax.sort is super-linear: chunk A/B at 2^22/23/24/25 gave
     # 658/467/496/609 ms per 19.2M occurrences); far under HBM limits.
     chunk_kmers: int = 8 * 1024 * 1024
+    # device-resident budget (in k-mer SLOTS) for settled per-chunk distinct
+    # runs.  When the runs outgrow it, the oldest are spilled to host RAM
+    # and the final merge runs in bounded key-range rounds — the TPU analog
+    # of DSK's multi-pass disk staging (gatb ConfigurationAlgorithm passes,
+    # legacy -dsk-memory/-dsk-disk at /root/reference/src/bcalm_1.cpp:22-23):
+    # datasets whose distinct set exceeds HBM still finish.
+    resident_kmers: int = 64 * 1024 * 1024
 
 
 @dataclass
@@ -76,14 +83,22 @@ def configure_chunk(cfg: EngineConfig, max_memory_mb: int) -> int:
     analog of gatb ConfigurationAlgorithm turning -max-memory/-max-disk
     into pass/partition counts (SURVEY.md §3.2).
 
-    Budget model: a chunk slot costs L u32 for the key plus ~4x workspace
-    (sort double-buffering, group ids, segment sums, scatter output).
+    Budget model: half the budget buys chunk workspace (a chunk slot costs
+    L u32 for the key plus ~4x workspace: sort double-buffering, group ids,
+    segment sums, scatter output); the other half buys residency for the
+    settled distinct runs (L u32 key + i32 count per slot).  Runs past the
+    residency budget spill to host RAM (out-of-core merge).
     """
     if max_memory_mb and max_memory_mb > 0:
         L = ln.num_lanes(cfg.k)
+        budget = max_memory_mb * 1_000_000
         bytes_per_slot = 4 * L * 4  # lanes * workspace factor * sizeof(u32)
-        slots = (max_memory_mb * 1_000_000) // bytes_per_slot
+        slots = (budget // 2) // bytes_per_slot
         cfg.chunk_kmers = int(max(1 << 20, min(slots, 1 << 27)))
+        res_slots = (budget // 2) // (L * 4 + 4)
+        cfg.resident_kmers = int(
+            max(2 * cfg.chunk_kmers, min(res_slots, 1 << 31))
+        )
     return cfg.chunk_kmers
 
 
@@ -134,6 +149,113 @@ def _extract_fold(words, lengths, k):
     return folded, jnp.sum(valid.astype(jnp.int32))
 
 
+def _lanes_to_records(lanes_np: np.ndarray) -> np.ndarray:
+    """Lane-major (L, N) uint32 -> (N,) structured array whose record
+    compare is the lexicographic k-mer order (numpy compares structured
+    dtypes field by field, so sorted runs stay sorted and searchsorted
+    gives exact key-range boundaries)."""
+    L = lanes_np.shape[0]
+    rec = np.empty(lanes_np.shape[1],
+                   dtype=np.dtype([(f"l{j}", np.uint32) for j in range(L)]))
+    for j in range(L):
+        rec[f"l{j}"] = lanes_np[j]
+    return rec
+
+
+def _device_range_merge(lanes_np: np.ndarray, counts_np: np.ndarray):
+    """Merge one key-range's concatenated run slices on-device (weighted
+    dedup) and fetch the exact-size distinct result back to host."""
+    from bcalm_tpu.ops import count as count_op
+
+    L, n = lanes_np.shape
+    cap = _round_capacity(max(1, n))
+    lanes = np.full((L, cap), count_op.SENTINEL, np.uint32)
+    lanes[:, :n] = lanes_np
+    weights = np.zeros((cap,), np.int32)
+    weights[:n] = counts_np
+    lanes_d = jnp.asarray(lanes)
+    valid = ~jnp.all(lanes_d == count_op.SENTINEL, axis=0)
+    unique, counts, n_unique = count_op.count_canonical(
+        lanes_d, valid, weights=jnp.asarray(weights), weighted=True
+    )
+    n_u = int(n_unique)
+    return np.asarray(unique)[:, :n_u], np.asarray(counts)[:n_u]
+
+
+def merge_host_runs(runs, merge_cap: int):
+    """Out-of-core merge: sorted distinct (lanes, counts) host runs ->
+    one globally sorted distinct (lanes, counts) host pair, merging
+    duplicates across runs by summing counts.
+
+    The TPU analog of DSK's multi-pass partition merge (gatb
+    SortingCountAlgorithm pass x partition staging — SURVEY.md §3.2): the
+    key space is split into ranges small enough that each range's slices
+    (contiguous in every sorted run) fit one bounded device merge.  Exact
+    pivots via structured-dtype searchsorted; a range is unsplittable only
+    when every entry shares one full key, which is capped by the run count
+    (each run holds distinct k-mers), so termination is guaranteed.
+
+    Returns (lanes_np (L, n), counts_np (n,), n_ranges).
+    """
+    runs = [(u, c) for u, c in runs if c.size]
+    if not runs:
+        return None, None, 0
+    L = runs[0][0].shape[0]
+    recs = [_lanes_to_records(u) for u, _ in runs]
+    merge_cap = max(1 << 10, merge_cap)
+    out_l: list = []
+    out_c: list = []
+    n_ranges = 0
+    # stack of ranges (per-run [lo, hi) boundaries), rightmost key range
+    # pushed first so ranges are emitted in ascending key order
+    stack = [[(0, r.size) for r in recs]]
+    while stack:
+        bounds = stack.pop()
+        size = sum(hi - lo for lo, hi in bounds)
+        if size == 0:
+            continue
+        if size > merge_cap:
+            # sample keys across the range, pick a splitting pivot
+            samples = []
+            for r, (lo, hi) in zip(recs, bounds):
+                if hi > lo:
+                    step = max(1, (hi - lo) // 64)
+                    samples.append(r[lo:hi:step])
+            cand = np.unique(np.concatenate(samples))
+            if cand.size < 2:
+                # sampling found one key; scan the range exactly (rare)
+                cand = np.unique(
+                    np.concatenate([r[lo:hi] for r, (lo, hi)
+                                    in zip(recs, bounds) if hi > lo]))
+            if cand.size >= 2:
+                pivot = cand[cand.size // 2]
+                if pivot == cand[0]:
+                    pivot = cand[1]
+                left, right = [], []
+                for r, (lo, hi) in zip(recs, bounds):
+                    mid = lo + int(np.searchsorted(r[lo:hi], pivot,
+                                                   side="left"))
+                    left.append((lo, mid))
+                    right.append((mid, hi))
+                stack.append(right)
+                stack.append(left)
+                continue
+            # cand.size == 1: every entry shares one key (size <= n_runs
+            # <= merge_cap in practice); fall through and merge as-is
+        lanes_np = np.concatenate(
+            [u[:, lo:hi] for (u, _), (lo, hi) in zip(runs, bounds)], axis=1)
+        counts_np = np.concatenate(
+            [c[lo:hi] for (_, c), (lo, hi) in zip(runs, bounds)])
+        ml, mc = _device_range_merge(lanes_np, counts_np)
+        out_l.append(ml)
+        out_c.append(mc)
+        n_ranges += 1
+    lanes = (np.concatenate(out_l, axis=1) if out_l
+             else np.zeros((L, 0), np.uint32))
+    counts = (np.concatenate(out_c) if out_c else np.zeros((0,), np.int32))
+    return lanes, counts, n_ranges
+
+
 def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
     """Extract + count canonical k-mers over all blocks, chunked.
 
@@ -143,8 +265,14 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
     on-device (one compiled shape, reused); the per-chunk distinct runs
     are then merged with one weighted count.
 
+    Out-of-core: when the settled distinct runs outgrow cfg.resident_kmers
+    device slots, the oldest runs spill to host RAM and the final merge
+    runs in bounded key ranges (merge_host_runs) — datasets whose distinct
+    set exceeds HBM complete, returning HOST arrays instead of device
+    arrays (stats carries "ooc_spilled_runs"/"ooc_merge_ranges").
+
     Returns (unique, counts, n_unique, stats) — device arrays sorted and
-    compacted to the front.
+    compacted to the front (host arrays of exact size on the spill path).
     """
     L = ln.num_lanes(cfg.k)
     chunk_buf = None   # (L, chunk_cap + block_F) device buffer
@@ -153,6 +281,8 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
     chunk_fill = 0
     partials = []                     # (unique, counts, n) per flushed chunk
     pending = None                    # last chunk's (unique, counts, n_dev)
+    host_runs = []                    # spilled (lanes_np, counts_np), sorted
+    resident_slots = 0                # sum of pow2 caps held in `partials`
     n_reads = 0
     n_bases = 0
     n_occ = 0
@@ -164,6 +294,19 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         cap = _round_capacity(max(1, n_u))
         u = _refold_tail(unique[:, :cap], jnp.asarray(n_u, jnp.int32))
         return u, counts[:cap], n_u
+
+    def spill_over_budget():
+        """Move the oldest settled runs to host RAM while device residency
+        exceeds the budget (out-of-core counting)."""
+        nonlocal resident_slots
+        budget = max(cfg.resident_kmers,
+                     2 * (chunk_cap or 0))  # never thrash below 2 chunks
+        while resident_slots > budget and partials:
+            u, c, n = partials.pop(0)
+            resident_slots -= u.shape[1]
+            # fetch the whole pow2-cap array (bounded shape classes), slice
+            # on host; exact-size host runs stay lex-sorted
+            host_runs.append((np.asarray(u)[:, :n], np.asarray(c)[:n]))
 
     def fresh_buf():
         # chunk_cap is a power of two (the sort's shape class); the extra
@@ -178,11 +321,14 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         Lagged by one chunk so the n_unique fetch (a host<->device sync)
         overlaps with the next chunk's queued device work instead of
         stalling the pipeline after every chunk."""
-        nonlocal pending
+        nonlocal pending, resident_slots
         if pending is not None:
             unique, counts, n_dev = pending
-            partials.append(trim(unique, counts, int(n_dev)))
+            run = trim(unique, counts, int(n_dev))
+            partials.append(run)
+            resident_slots += run[0].shape[1]
             pending = None
+            spill_over_budget()
 
     def flush():
         nonlocal chunk_buf, chunk_fill, pending
@@ -231,12 +377,25 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
     flush()
 
     stats = {"reads": n_reads, "bases": n_bases, "kmer_occurrences": n_occ}
-    if pending is not None and not partials:
+    if pending is not None and not partials and not host_runs:
         # single-chunk dataset: the run needs no trim (callers re-slice to
         # the final capacity) and no n_unique sync here (callers fetch it)
         unique, counts, n_dev = pending
         return unique, counts, n_dev, stats
     settle_pending()
+    if host_runs:
+        # out-of-core path: drain remaining device runs to host and merge
+        # in bounded key ranges
+        for u, c, n in partials:
+            host_runs.append((np.asarray(u)[:, :n], np.asarray(c)[:n]))
+        stats["ooc_spilled_runs"] = len(host_runs)
+        lanes_np, counts_np, n_ranges = merge_host_runs(
+            host_runs, cfg.chunk_kmers)
+        stats["ooc_merge_ranges"] = n_ranges
+        if lanes_np is None:
+            lanes_np = np.zeros((L, 0), np.uint32)
+            counts_np = np.zeros((0,), np.int32)
+        return lanes_np, counts_np, int(counts_np.shape[0]), stats
     if not partials:
         empty = jnp.zeros((L, 16), dtype=jnp.uint32)
         return empty, jnp.zeros((16,), jnp.int32), jnp.asarray(0, jnp.int32), stats
@@ -521,8 +680,25 @@ def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
 
 def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig) -> UnitigSet:
     """Device-resident end-to-end build (no host round-trip of the solid
-    set between counting and compaction)."""
+    set between counting and compaction).
+
+    On the out-of-core path (distinct set spilled to host) the histogram +
+    solidity filter run in numpy and compaction restarts from the (much
+    smaller) solid set."""
     unique, counts, n_unique, stats = count_blocks(blocks, cfg)
+    if isinstance(unique, np.ndarray):
+        counts_np = np.asarray(counts)
+        binned = np.minimum(counts_np, cfg.histo_max)
+        histo = np.bincount(binned, minlength=cfg.histo_max + 1).astype(
+            np.int32)
+        keep = ((counts_np >= cfg.abundance_min)
+                & (counts_np <= cfg.abundance_max))
+        stats["distinct_kmers"] = int(counts_np.shape[0])
+        us = compact_from_counts(unique[:, keep], counts_np[keep], cfg)
+        us.histogram = histo
+        us.stats.update(stats)
+        us.stats["unitigs"] = len(us.seqs)
+        return us
     n_u = int(n_unique)
     cap = _round_capacity(max(1, n_u))
     unique = unique[:, :cap]

@@ -266,8 +266,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 1
         bank = bank_mod.Bank.open(in_path)
         mesh = par.make_mesh(n_dev_req)
+        mcfg = par.MinimizerConfig(
+            m=props.get_int("-minimizer-size"),
+            minimizer_type=props.get_int("-minimizer-type"),
+            repartition_type=props.get_int("-repartition-type"),
+        )
         with ti.timer("build_distributed"):
-            us = par.distributed_build(bank.sequences(), cfg, mesh)
+            us = par.distributed_build(bank.sequences(), cfg, mesh, mcfg)
         with ti.timer("write"):
             with open(unitigs_path, "w") as f:
                 fasta_writer.write_fasta(

@@ -1,24 +1,32 @@
 """Sharded multi-chip pipeline: distributed k-mer counting over a Mesh.
 
 TPU-native replacement for the reference's (pass x partition) disk staging
-(gatb SortingCountAlgorithm — SURVEY.md §3.3/§4.2): the minimizer/hash
+(gatb SortingCountAlgorithm — SURVEY.md §3.3/§4.2): the minimizer
 partition space maps onto mesh devices, and superkmer routing to disk
-partitions becomes an `all_to_all` over ICI.  Each device:
+partitions becomes an `all_to_all` over ICI.  The production path
+(`distributed_build`) is STREAMED and MINIMIZER-PARTITIONED:
 
-1. extracts canonical k-mers from its read shard (ops.extract),
-2. routes each k-mer to its owner device (hash-partitioned) via a
-   fixed-capacity bucket exchange (static shapes; overflow is *detected*
-   and reported, never silently dropped),
-3. counts its owned k-mers locally (ops.count) — k-mer space is disjoint
-   across devices, so no further reduction is needed,
-4. abundance histogram is psum-reduced across the mesh.
+1. a sampling round builds the m-mer frequency order + the
+   frequency-balanced minimizer->device repartition table
+   (models.minimizer; gatb RepartitionAlgorithm/Repartitor — defaults
+   minimizer-type=1 repartition-type=1 forced at
+   /root/reference/src/bcalm_1.cpp:40-41),
+2. each round, every device forms SUPERKMERS (maximal same-minimizer
+   k-mer runs, ops.superkmer) from its read shard and routes the packed
+   base runs — not individual k-mers — through a fixed-capacity
+   all_to_all (the ~span/(W+1)-fold traffic cut that superkmer binning
+   buys the reference on disk I/O),
+3. the receiver re-extracts canonical k-mers (a superkmer is just a short
+   read) and counts its round-local share (ops.count); k-mer space is
+   disjoint across devices so no further reduction is needed,
+4. per-device distinct runs stream to the host and merge in bounded key
+   ranges (engine.merge_host_runs — shared with the single-chip
+   out-of-core path), so device memory is O(round), not O(dataset),
+5. compaction runs fully sharded on the mesh (parallel.distcompact).
 
-Compaction (junctions + chains) currently runs replicated on the gathered
-solid set — the solid set is typically ~50-100x smaller than the input
-occurrence stream, so counting dominates wall-clock (the reference's own
-hot-loop ranking, SURVEY.md §4.5).  Distributed junction matching and
-log-round distributed pointer jumping are the planned next step and slot
-into the same entry/owner routing below.
+All exchanges are fixed-capacity with psum'd overflow detection (never
+silent).  The per-k-mer hash-routing primitives (distributed_count) are
+kept below as building blocks and for the overflow/equality unit tests.
 """
 
 from __future__ import annotations
@@ -193,38 +201,248 @@ def pack_global_blocks(seqs: Iterable[str], k: int, n_dev: int,
     return words, lengths
 
 
-def distributed_build(seqs, cfg, mesh: Mesh):
-    """Host-driven multi-chip build: sharded counting + gathered compaction.
+def iter_global_blocks(seqs: Iterable[str], k: int, n_dev: int,
+                       block_reads: int, max_len: int):
+    """Stream (words, lengths) rounds with exactly n_dev * block_reads rows
+    each — host memory O(round), never the whole input (VERDICT round-1
+    item 5: the old pack_global_blocks materialized everything)."""
+    from bcalm_tpu.io import packing
 
-    Produces the same UnitigSet as engine.build_from_seqs (validated by
-    tests/test_parallel.py).
+    acc_w, acc_l = [], []
+    width = None
+    for b in packing.iter_blocks(seqs, k, block_reads=block_reads,
+                                 max_len=max_len):
+        acc_w.append(b.words)
+        acc_l.append(b.lengths)
+        width = b.words.shape[1]
+        if len(acc_w) == n_dev:
+            yield np.concatenate(acc_w), np.concatenate(acc_l)
+            acc_w, acc_l = [], []
+    if acc_w:
+        pad = n_dev - len(acc_w)
+        acc_w += [np.zeros((block_reads, width), np.uint32)] * pad
+        acc_l += [np.zeros((block_reads,), np.int32)] * pad
+        yield np.concatenate(acc_w), np.concatenate(acc_l)
+
+
+@dataclass
+class MinimizerConfig:
+    """Minimizer routing knobs (reference flag surface: -minimizer-size,
+    -minimizer-type, -repartition-type — defaults 1/1 forced at
+    /root/reference/src/bcalm_1.cpp:40-41, legacy m=8 at :19)."""
+    m: int = 8
+    minimizer_type: int = 1     # 0 lexicographic, 1 frequency
+    repartition_type: int = 1   # 0 uniform, 1 balanced bin packing
+    max_span: Optional[int] = None  # k-mers/superkmer cap (None = per-k)
+    cap_per_dest: Optional[int] = None  # superkmer exchange capacity
+
+
+def effective_m(k: int, m: int) -> int:
+    """m must leave at least one m-mer per k-mer and fit one lane."""
+    return max(1, min(m, k - 1, 16))
+
+
+def sample_tables(words: np.ndarray, lengths: np.ndarray, k: int,
+                  mcfg: MinimizerConfig, n_parts: int):
+    """Sampling pass on one round's reads: canonical-m-mer frequency order
+    + the balanced minimizer->partition table (gatb RepartitionAlgorithm /
+    Repartitor — SURVEY.md §3.2).  Runs replicated on one device.
+
+    Returns (freq_rank or None, table, load) where `table` and `load` are
+    indexed by the window-min KEY: the frequency rank for minimizer-type
+    1, the canonical m-mer value for type 0.
+    """
+    from bcalm_tpu.models import minimizer as mz
+    from bcalm_tpu.ops import superkmer as skm
+
+    m = effective_m(k, mcfg.m)
+    w = jnp.asarray(words)
+    l = jnp.asarray(lengths)
+    if mcfg.minimizer_type == 1:
+        histo = np.asarray(skm.sample_cmmer_histogram(w, l, k, m))
+        freq_rank = mz.frequency_rank(histo)
+        load = np.asarray(skm.sample_minimizer_load(
+            w, l, k, m, jnp.asarray(freq_rank), use_rank=True))
+    else:
+        freq_rank = None
+        load = np.asarray(skm.sample_minimizer_load(w, l, k, m))
+    table = mz.build_repartition(load, n_parts, mcfg.repartition_type)
+    return freq_rank, table, load
+
+
+def _local_skm_count(words, lengths, table, freq_rank, *, k: int, m: int,
+                     n_dev: int, cap: int, max_span: int, use_rank: bool):
+    """Per-device round body: superkmer formation -> routed exchange ->
+    receiver re-extraction -> local count.  Runs under shard_map."""
+    from bcalm_tpu.ops import superkmer as skm
+
+    skm_words, owner, start, n_kmers = skm.form_superkmers(
+        words, lengths, k, m, table, freq_rank,
+        max_span=max_span, use_rank=use_rank)
+    Wn = skm_words.shape[0]
+    bl, bv, dropped = _route_to_buckets(skm_words, start, owner, n_dev, cap)
+    recv_l = jax.lax.all_to_all(bl, AXIS, split_axis=1, concat_axis=1)
+    recv_v = jax.lax.all_to_all(bv, AXIS, split_axis=0, concat_axis=0)
+    ent = recv_l.reshape(Wn, -1)
+    ev = recv_v.reshape(-1)
+    r_words = jnp.transpose(ent)                          # (S, Wn)
+    span = skm.decode_span(ent[Wn - 1], max_span)
+    r_len = jnp.where(ev, span + (k - 1), 0)
+    canon, valid = extract_op.extract_canonical(r_words, r_len, k)
+    P_eff = max(1, canon.shape[2] - (k - 1))
+    canon = canon[:, :, :P_eff]
+    valid = valid[:, :P_eff]
+    L = canon.shape[0]
+    unique, counts, n_unique = count_op.count_canonical(
+        canon.reshape(L, -1), valid.reshape(-1))
+    stats = (
+        jax.lax.psum(dropped, AXIS),
+        jax.lax.psum(n_kmers, AXIS),
+        jax.lax.psum(jnp.sum(start.astype(jnp.int32)), AXIS),
+        jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), AXIS),
+    )
+    return unique, counts, n_unique[None], jnp.stack(stats)
+
+
+def skm_count_fn(mesh: Mesh, k: int, m: int, cap: int, max_span: int,
+                 use_rank: bool):
+    """Jitted streamed superkmer counting round over the mesh."""
+    n_dev = mesh.devices.size
+    fn = shard_map(
+        partial(_local_skm_count, k=k, m=m, n_dev=n_dev, cap=cap,
+                max_span=max_span, use_rank=use_rank),
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS), P(None), P(None)),
+        out_specs=(P(None, AXIS), P(AXIS), P(AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def superkmer_capacity(block_reads: int, max_len: int, k: int, m: int,
+                       n_dev: int, max_span: int, slack: float = 3.0) -> int:
+    """Per-destination superkmer bucket capacity for one round."""
+    from bcalm_tpu.ops import superkmer as skm
+
+    occ = max(1, max_len - k + 1)
+    per_read = occ / skm.est_span(k, m) + 1.0
+    return int(max(64, np.ceil(block_reads * per_read * slack / n_dev)))
+
+
+def distributed_build(seqs, cfg, mesh: Mesh,
+                      mcfg: Optional[MinimizerConfig] = None):
+    """Streamed, minimizer-partitioned multi-chip build.
+
+    Per round: superkmer routing + exchange + per-device counting on the
+    mesh; per-device distinct runs stream to the host and merge in bounded
+    key ranges (device memory O(round)).  Compaction runs sharded
+    (distcompact).  Produces the same UnitigSet as engine.build_from_seqs
+    (validated by tests/test_parallel.py).
     """
     from bcalm_tpu import engine as eng
+    from bcalm_tpu.parallel import distcompact
 
+    from bcalm_tpu.ops import superkmer as skm_mod
+
+    mcfg = mcfg or MinimizerConfig()
     n_dev = mesh.devices.size
-    words, lengths = pack_global_blocks(
-        seqs, cfg.k, n_dev, block_reads=cfg.block_reads, max_len=cfg.max_len
-    )
-    B, W = words.shape
-    n_loc = (B // n_dev) * W * 16
-    cap = max(64, (2 * n_loc) // n_dev)
-    res = distributed_count(mesh, jnp.asarray(words), jnp.asarray(lengths),
-                            cfg.k, cap)
-    if res.dropped:
-        raise RuntimeError(
-            f"bucket overflow: {res.dropped} k-mers dropped; "
-            f"raise cap_per_dest (got {cap})"
-        )
-    per_s, per_c = solid_per_device(res, cfg.abundance_min, cfg.abundance_max)
+    k = cfg.k
+    m = effective_m(k, mcfg.m)
+    max_span = mcfg.max_span or skm_mod.default_max_span(k)
+    block_reads = min(cfg.block_reads, 1024)
+    cap = mcfg.cap_per_dest or superkmer_capacity(
+        block_reads, cfg.max_len, k, m, n_dev, max_span)
+
+    rounds = iter_global_blocks(seqs, k, n_dev, block_reads, cfg.max_len)
+    first = next(rounds, None)
+    if first is None:
+        return eng.UnitigSet(
+            k=k, seqs=[], kc=np.zeros(0, np.int64), abundances=[],
+            circular=np.zeros(0, bool), links=[], stats={"solid_kmers": 0})
+    freq_rank, table, load = sample_tables(first[0], first[1], k, mcfg, n_dev)
+    table_d = jnp.asarray(table)
+    rank_d = (jnp.asarray(freq_rank) if freq_rank is not None
+              else jnp.zeros((4 ** m,), jnp.uint32))
+
+    use_rank = freq_rank is not None
+    fn = skm_count_fn(mesh, k, m, cap, max_span, use_rank=use_rank)
+    host_runs = [[] for _ in range(n_dev)]  # per-device sorted distinct runs
+    totals = np.zeros((4,), np.int64)       # dropped, kmers, skms, routed
+    retries = 0
+
+    import itertools
+
+    for words, lengths in itertools.chain([first], rounds):
+        w_d, l_d = jnp.asarray(words), jnp.asarray(lengths)
+        while True:
+            unique, counts, n_unique, stats = fn(w_d, l_d, table_d, rank_d)
+            st = np.asarray(stats)
+            if st[0] == 0:
+                break
+            # overflow-retry: double the exchange capacity and re-run the
+            # round (memory pays only when skew demands it — replaces the
+            # round-1 detect-and-die)
+            cap *= 2
+            retries += 1
+            if cap > (1 << 24):
+                raise RuntimeError(
+                    f"superkmer exchange overflow persists at cap {cap}")
+            fn = skm_count_fn(mesh, k, m, cap, max_span,
+                              use_rank=use_rank)
+        totals += st
+        nu = np.asarray(n_unique)
+        u_np = np.asarray(unique)
+        c_np = np.asarray(counts)
+        per = u_np.shape[1] // n_dev
+        for d in range(n_dev):
+            n = int(nu[d])
+            if n:
+                host_runs[d].append((u_np[:, d * per: d * per + n].copy(),
+                                     c_np[d * per: d * per + n].copy()))
+
+    assert totals[1] == totals[3], "routed k-mers != extracted k-mers"
+    per_s, per_c = [], []
+    L = u_np.shape[0]
+    for d in range(n_dev):
+        lanes_np, counts_np, _ = eng.merge_host_runs(
+            host_runs[d], cfg.chunk_kmers)
+        if lanes_np is None:
+            lanes_np = np.zeros((L, 0), np.uint32)
+            counts_np = np.zeros((0,), np.int32)
+        keep = ((counts_np >= cfg.abundance_min)
+                & (counts_np <= cfg.abundance_max))
+        per_s.append(lanes_np[:, keep])
+        per_c.append(counts_np[keep])
+
+    stats = {
+        "devices": n_dev,
+        "minimizer_size": m,
+        "minimizer_type": mcfg.minimizer_type,
+        "repartition_type": mcfg.repartition_type,
+        "exchange_cap_retries": retries,
+        "kmer_occurrences": int(totals[1]),
+        "superkmers": int(totals[2]),
+        "mean_superkmer_span": (float(totals[1]) / max(1, int(totals[2]))),
+        # exchange words per routed k-mer occurrence: packed superkmer
+        # words + length channel vs. the L+1 words/occurrence of per-k-mer
+        # routing — the traffic cut superkmers buy
+        "exchange_words_per_kmer": (
+            float(int(totals[2]) * skm_span_words(k, max_span))
+            / max(1, int(totals[1]))),
+    }
     n_solid = int(sum(s.shape[1] for s in per_s))
     if n_solid == 0:
         return eng.UnitigSet(
-            k=cfg.k, seqs=[], kc=np.zeros(0, np.int64), abundances=[],
+            k=k, seqs=[], kc=np.zeros(0, np.int64), abundances=[],
             circular=np.zeros(0, bool), links=[],
-            stats={"solid_kmers": 0},
-        )
-    from bcalm_tpu.parallel import distcompact
-
-    us = distcompact.distributed_compact(mesh, per_s, per_c, cfg.k)
+            stats=dict(stats, solid_kmers=0))
+    us = distcompact.distributed_compact(mesh, per_s, per_c, k)
+    us.stats.update(stats)
     us.stats["unitigs"] = len(us.seqs)
     return us
+
+
+def skm_span_words(k: int, max_span: int) -> int:
+    from bcalm_tpu.ops import superkmer as skm
+
+    return skm.span_words(k, max_span)

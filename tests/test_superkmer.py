@@ -1,0 +1,178 @@
+"""Superkmer formation, routing economy, and repartition balance."""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bcalm_tpu import engine
+from bcalm_tpu.io import packing
+from bcalm_tpu.models import lanes as ln
+from bcalm_tpu.models import minimizer as mz
+from bcalm_tpu.ops import extract as extract_op
+from bcalm_tpu.ops import superkmer as skm
+from bcalm_tpu.oracle import brute
+from bcalm_tpu.parallel import pipeline
+
+
+def _pack(reads, k, block_reads=32, max_len=128):
+    blocks = list(packing.iter_blocks(reads, k, block_reads=block_reads,
+                                      max_len=max_len))
+    assert len(blocks) == 1
+    return jnp.asarray(blocks[0].words), jnp.asarray(blocks[0].lengths)
+
+
+def _mini_of_kmer(s, k, m, rank=None):
+    """Host oracle: minimum CANONICAL m-mer over the k-mer window (numeric
+    order A=0 C=1 T=2 G=3) — strand-independent by construction."""
+    mmers = [brute.canonical_num(ln.string_to_int(s[i:i + m]), m)
+             for i in range(k - m + 1)]
+    if rank is None:
+        return min(mmers)
+    return min(int(rank[x]) for x in mmers)
+
+
+def test_minimizer_strand_independent():
+    rng = random.Random(1)
+    for _ in range(50):
+        s = "".join(rng.choice("ACGT") for _ in range(17))
+        assert (_mini_of_kmer(s, 17, 6)
+                == _mini_of_kmer(brute.revcomp_str(s), 17, 6))
+
+
+def test_superkmers_cover_all_kmers_once():
+    rng = random.Random(3)
+    reads = ["".join(rng.choice("ACGT") for _ in range(60))
+             for _ in range(32)]
+    k, m = 21, 5
+    words, lengths = _pack(reads, k)
+    table = jnp.zeros((4 ** m,), jnp.int32)
+    sw, owner, start, n_kmers = skm.form_superkmers(
+        words, lengths, k, m, table, None, max_span=8)
+    start_np = np.asarray(start)
+    spans = np.asarray(skm.decode_span(sw[-1], 8))[start_np]
+    assert spans.sum() == int(n_kmers)          # partition of all k-mers
+    assert (spans >= 1).all() and (spans <= 8).all()
+
+
+def test_superkmer_unpack_matches_kmers():
+    """Receiver-side re-extraction of each superkmer reproduces exactly the
+    k-mers of its span."""
+    rng = random.Random(5)
+    reads = ["".join(rng.choice("ACGT") for _ in range(50))
+             for _ in range(16)]
+    k, m = 13, 4
+    words, lengths = _pack(reads, k, block_reads=16, max_len=64)
+    table = jnp.zeros((4 ** m,), jnp.int32)
+    max_span = 6
+    sw, owner, start, n_kmers = skm.form_superkmers(
+        words, lengths, k, m, table, None, max_span=max_span)
+    start_np = np.asarray(start)
+    r_words = np.asarray(sw).T[start_np]
+    spans = np.asarray(skm.decode_span(sw[-1], max_span))
+    r_len = (spans + (k - 1))[start_np]
+    canon, valid = extract_op.extract_canonical(
+        jnp.asarray(r_words), jnp.asarray(r_len), k)
+    got = []
+    c_np, v_np = np.asarray(canon), np.asarray(valid)
+    for s in range(r_words.shape[0]):
+        for p in range(v_np.shape[1]):
+            if v_np[s, p]:
+                got.append(ln.lanes_to_int(c_np[:, s, p]))
+    expect = []
+    for r in reads:
+        for i in range(len(r) - k + 1):
+            expect.append(brute.canonical_num(brute.str2num(r[i:i + k]), k))
+    assert sorted(got) == sorted(expect)
+
+
+def test_superkmer_runs_share_minimizer():
+    """All k-mers inside one superkmer share the minimizer; breaks happen
+    exactly where the minimizer changes (oracle comparison)."""
+    rng = random.Random(11)
+    read = "".join(rng.choice("ACGT") for _ in range(80))
+    k, m = 15, 4
+    words, lengths = _pack([read], k, block_reads=1, max_len=96)
+    table = jnp.zeros((4 ** m,), jnp.int32)
+    sw, owner, start, n_kmers = skm.form_superkmers(
+        words, lengths, k, m, table, None, max_span=128)
+    start_np = np.asarray(start)[:96]
+    minis = [_mini_of_kmer(read[i:i + k], k, m)
+             for i in range(len(read) - k + 1)]
+    expect_start = [i == 0 or minis[i] != minis[i - 1]
+                    for i in range(len(minis))]
+    assert list(start_np[:len(minis)]) == expect_start
+
+
+def test_exchange_traffic_reduction():
+    """Superkmer routing must cut exchange words/occurrence >= 4x vs
+    per-k-mer routing on 150bp reads (VERDICT round-1 item 2)."""
+    rng = random.Random(2)
+    genome = "".join(rng.choice("ACGT") for _ in range(4000))
+    reads = [genome[i:i + 150] for i in range(0, 3800, 40)] * 2
+    k, m = 31, 8
+    cfg = engine.EngineConfig(k=k, abundance_min=1, block_reads=64,
+                              max_len=150)
+    mesh = pipeline.make_mesh(8)
+    us = pipeline.distributed_build(reads, cfg, mesh)
+    words_per_kmer = us.stats["exchange_words_per_kmer"]
+    L = ln.num_lanes(k)
+    assert words_per_kmer * 4 <= (L + 1)
+    assert us.stats["mean_superkmer_span"] > 4
+    # and the result is still right
+    expect = engine.build_from_seqs(reads, cfg)
+    assert (brute.canonical_unitig_set(us.seqs)
+            == brute.canonical_unitig_set(expect.seqs))
+
+
+def test_repartition_balances_skewed_minimizers():
+    """Skewed minimizer load (several hot repeat motifs): the balanced
+    repartition must spread the hot minimizers across devices, and beat
+    the uniform (mod) assignment."""
+    rng = random.Random(4)
+    motifs = ["".join(rng.choice("ACGT") for _ in range(10)) * 15
+              for _ in range(8)]
+    reads = []
+    for _ in range(30):  # heavy repeat content + some random reads
+        reads.extend(mo[:150] for mo in motifs)
+        reads.append("".join(rng.choice("ACGT") for _ in range(150)))
+    k, m = 21, 6
+    blocks = list(packing.iter_blocks(reads, k, block_reads=512,
+                                      max_len=160))
+    w, l = blocks[0].words, blocks[0].lengths
+    mcfg = pipeline.MinimizerConfig(m=m, minimizer_type=1,
+                                    repartition_type=1)
+    freq_rank, table, load = pipeline.sample_tables(w, l, k, mcfg, 8)
+    per_dev = np.zeros(8, np.int64)
+    np.add.at(per_dev, table, load.astype(np.int64))
+    # balanced: no device holds more than 2x the mean load
+    assert per_dev.max() <= 2 * per_dev.mean()
+    # uniform (type 0) on the same load never beats balanced
+    table0 = mz.build_repartition(load, 8, repartition_type=0)
+    per_dev0 = np.zeros(8, np.int64)
+    np.add.at(per_dev0, table0, load.astype(np.int64))
+    assert per_dev.max() <= per_dev0.max()
+
+
+def test_minimizer_flags_affect_stats(tmp_path):
+    """-minimizer-size must reach the distributed pipeline (round-1
+    VERDICT: flags were silent no-ops)."""
+    rng = random.Random(8)
+    genome = "".join(rng.choice("ACGT") for _ in range(800))
+    reads = [genome[i:i + 60] for i in range(0, 700, 7)]
+    cfg = engine.EngineConfig(k=21, abundance_min=1, block_reads=32,
+                              max_len=64)
+    mesh = pipeline.make_mesh(4)
+    us_a = pipeline.distributed_build(
+        reads, cfg, mesh, pipeline.MinimizerConfig(m=4))
+    us_b = pipeline.distributed_build(
+        reads, cfg, mesh, pipeline.MinimizerConfig(m=10))
+    assert us_a.stats["minimizer_size"] == 4
+    assert us_b.stats["minimizer_size"] == 10
+    # different m -> different superkmer decomposition, same unitigs
+    assert us_a.stats["superkmers"] != us_b.stats["superkmers"]
+    assert (brute.canonical_unitig_set(us_a.seqs)
+            == brute.canonical_unitig_set(us_b.seqs))

@@ -156,3 +156,21 @@ def test_large_k_end_to_end(k):
     compare(reads, k, amin=1)
     # abundance filtering at large k: duplicate half the reads, amin=2
     compare(reads + reads[::2], k, amin=2)
+
+
+@pytest.mark.slow
+def test_k127_end_to_end():
+    """k=127 (8 uint32 lanes — beyond the 2-lane-pair regime) end-to-end vs
+    the oracle: the KSIZE_LIST "128-span" analog, README.md:93-99.  Lanes
+    are unit-tested to k=320; this proves the full build path at >4 lanes."""
+    rng = random.Random(127)
+    genome = "".join(rng.choice("ACTG") for _ in range(500))
+    reads = [genome[i:i + 160] for i in range(0, 330, 11)]
+    cfg = engine.EngineConfig(k=127, abundance_min=1, block_reads=16,
+                              max_len=160)
+    got = engine.build_from_seqs(reads, cfg)
+    expect = brute.build(reads, 127, abundance_min=1)
+    assert (brute.canonical_unitig_set(got.seqs)
+            == brute.canonical_unitig_set([u.seq for u in expect.unitigs]))
+    assert (brute.canonical_link_set(to_brute_graph(got))
+            == brute.canonical_link_set(expect))

@@ -441,16 +441,23 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
     return unique, counts, jnp.asarray(n_u, jnp.int32), stats
 
 
-def compact_solid(solid: jnp.ndarray, counts: jnp.ndarray, n_solid: int, k: int):
-    """Junction + chain stages on a (C, L) solid set (C = padded capacity)."""
+@_partial(jax.jit, static_argnames=("k",))
+def _compact_solid_jit(solid, counts, n_solid, k):
     C = solid.shape[1]
-    succ, out_deg = junctions_op.successor_arrays(
-        solid, jnp.asarray(n_solid, jnp.int32), k
-    )
-    oid = np.arange(2 * C, dtype=np.int64)
-    valid_oriented = jnp.asarray((oid % C) < n_solid)
+    succ, out_deg = junctions_op.successor_arrays(solid, n_solid, k)
+    oid = jnp.arange(2 * C, dtype=jnp.int32)
+    valid_oriented = jnp.where(oid >= C, oid - C, oid) < n_solid
     info = chains_op.chain_decompose(succ, valid_oriented)
     return succ, out_deg, info
+
+
+def compact_solid(solid: jnp.ndarray, counts: jnp.ndarray, n_solid: int, k: int):
+    """Junction + chain stages on a (C, L) solid set (C = padded capacity).
+
+    One fused jit program (junctions sort-join + chain decomposition): on
+    the tunneled single-chip setup a dispatch round-trip costs ~27ms, so
+    stage fusion is a measurable win at bench scale."""
+    return _compact_solid_jit(solid, counts, jnp.asarray(n_solid, jnp.int32), k)
 
 
 def _decode_kmers_np(lanes_np: np.ndarray, k: int) -> np.ndarray:

@@ -206,6 +206,301 @@ def jump_loop(pred: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return state
 
 
+# ---------------------------------------------------------------------------
+# Fast path: rooted-flag pointer jumping + hierarchical sampled contraction.
+#
+# Motivation (measured on v5e): XLA gathers/scatters run at ~150-170M random
+# indices/s regardless of row width, so the doubling loop's cost is purely
+# (rounds x live indices).  Two levers:
+#   1. a ROOTED flag propagated through composition makes rows absorbing
+#      once their span reaches a chain start — removing finish()'s
+#      pred[ptr] gather and letting the while_loop freeze settled rows;
+#   2. hierarchical contraction: sample ~1/8 of nodes as level-fixpoints
+#      (served as identity rows so other queries STOP there), converge the
+#      short gaps in <=R_A rounds, then recurse on the contracted list
+#      (capacity /4 per level).  Long chains pay R_A full-size rounds +
+#      geometrically shrinking levels instead of log2(M) full-size rounds.
+#      Composition state is a monoid, so spans accumulated per level
+#      compose exactly on the way back up; cycles survive contraction
+#      (their min/dmn columns accumulate over whole wraps) and resolve at
+#      the deepest level exactly as in the plain loop.
+#
+# Flags are PACKED into the high bits of the dist column (state rows stay
+# 4 x int32 = 16 bytes: wider rows fall off XLA's fast row-gather path):
+# ROOTED (span reaches a chain start: absorbing, final), FIX (this SERVED
+# row is a level-fixpoint identity), SETTLED (query's target served
+# identity — no further level-local progress needed).  Distances are
+# exact in the low 28 bits (any M fits: 2N <= 2^28 k-mers is > HBM).
+# ---------------------------------------------------------------------------
+
+_DSF = _DIST            # dist-plus-flags column (alias for readability)
+_F_SETTLED = np.int32(1 << 28)
+_F_FIX = np.int32(1 << 29)
+_F_ROOTED = np.int32(1 << 30)
+_DMASK = np.int32((1 << 28) - 1)
+
+_HIER_MIN = 1 << 18     # below this, plain doubling wins (fewer passes)
+_FINAL_CAP = 1 << 15    # deepest level size: plain doubling there
+_SAMPLE_DIV = 8         # fixpoint sampling rate 1/8
+_LEVEL_SHRINK = 4       # static capacity per level
+_R_A = 7                # phase-A round cap (covers gaps <= 128)
+
+
+def _composeF(q: jnp.ndarray, anc: jnp.ndarray) -> jnp.ndarray:
+    """Span composition (v..q.ptr] o (q.ptr..anc.ptr]; ROOTED rows absorb."""
+    qd = q[:, _DSF]
+    ad = anc[:, _DSF]
+    rooted_q = (qd & _F_ROOTED) != 0
+    dq = qd & _DMASK
+    dist = dq + (ad & _DMASK)
+    stop = (ad & (_F_FIX | _F_ROOTED)) != 0
+    flg = ((qd | ad) & _F_ROOTED) | jnp.where(stop, _F_SETTLED,
+                                              np.int32(0))
+    better = anc[:, _MN] < q[:, _MN]
+    new = jnp.stack(
+        [
+            anc[:, _PTR],
+            dist | flg,
+            jnp.minimum(q[:, _MN], anc[:, _MN]),
+            jnp.where(better, dq + anc[:, _DMN], q[:, _DMN]),
+        ],
+        axis=1,
+    )
+    return jnp.where(rooted_q[:, None], q, new)
+
+
+def _identity_rows(local_idx, gid, flg_rooted):
+    z = jnp.zeros_like(local_idx)
+    return jnp.stack(
+        [local_idx,
+         _F_FIX | jnp.where(flg_rooted, _F_ROOTED | _F_SETTLED,
+                            np.int32(0)),
+         gid, z],
+        axis=1,
+    )
+
+
+def _phase(Q0: jnp.ndarray, fix: jnp.ndarray, gid: jnp.ndarray,
+           rounds: int) -> jnp.ndarray:
+    """Doubling rounds with fixpoint identity serving, to convergence or cap."""
+    S = Q0.shape[0]
+    local = jnp.arange(S, dtype=jnp.int32)
+    rooted0 = (Q0[:, _DSF] & _F_ROOTED) != 0
+    ident = _identity_rows(local, gid, rooted0)
+
+    def cond(carry):
+        Q, changed, t = carry
+        return changed & (t < rounds)
+
+    def body(carry):
+        Q, _, t = carry
+        rooted = (Q[:, _DSF] & _F_ROOTED) != 0
+        T = jnp.where((fix & ~rooted)[:, None], ident, Q)
+        # rooted rows may carry original-space ptrs (absorbing, composed
+        # result discarded by the guard) — clip keeps the gather in-bounds
+        anc = jnp.take(T, Q[:, _PTR], axis=0, mode="clip")
+        new = _composeF(Q, anc)
+        return new, jnp.any(new != Q), t + 1
+
+    Q, _, _ = jax.lax.while_loop(
+        cond, body, (Q0, jnp.asarray(True), jnp.asarray(0))
+    )
+    return Q
+
+
+def _sampled(gid: jnp.ndarray, salt: int) -> jnp.ndarray:
+    """Murmur-style mix: the salt must decorrelate levels (level-l+1 gids
+    are exactly those sampled at level l, so an additive salt over one
+    multiplicative hash would re-select almost nothing)."""
+    h = gid.astype(jnp.uint32) ^ np.uint32(salt & 0xFFFFFFFF)
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> np.uint32(16))
+    return (h % np.uint32(_SAMPLE_DIV)) == 0
+
+
+def _absorbing_filler(S: int, big: int):
+    """Static filler rows for unused level slots: rooted identity, mn=big."""
+    z = jnp.zeros((S,), jnp.int32)
+    return jnp.stack(
+        [jnp.arange(S, dtype=jnp.int32),
+         jnp.full((S,), int(_F_ROOTED | _F_SETTLED), jnp.int32),
+         jnp.full((S,), big, jnp.int32), z],
+        axis=1,
+    )
+
+
+def _init_Q(pred: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    M = pred.shape[0]
+    idx = jnp.arange(M, dtype=jnp.int32)
+    has_pred = (pred >= 0) & valid
+    return jnp.stack(
+        [
+            jnp.where(has_pred, pred, idx),
+            jnp.where(has_pred, np.int32(1),
+                      np.int32(_F_ROOTED | _F_SETTLED)),
+            jnp.where(valid, idx, M),
+            jnp.zeros((M,), jnp.int32),
+        ],
+        axis=1,
+    )
+
+
+def hier_jump(pred: jnp.ndarray, valid: jnp.ndarray):
+    """Hierarchical pointer jumping.  Returns (state, ok) where state is
+    the fully-converged packed-flag state in the original node space and
+    `ok` is False if a level overflowed its static capacity
+    (astronomically unlikely; the caller falls back to the plain loop)."""
+    M = pred.shape[0]
+    idx = jnp.arange(M, dtype=jnp.int32)
+    Q = _init_Q(pred, valid)
+    gid = idx
+    lvl_valid = valid
+    ok = jnp.asarray(True)
+
+    # static level schedule
+    sizes = [M]
+    while sizes[-1] // _LEVEL_SHRINK >= _FINAL_CAP:
+        sizes.append(sizes[-1] // _LEVEL_SHRINK)
+
+    stack = []  # per level: (Q_phaseA, did, S)
+    for li in range(len(sizes) - 1):
+        S, S1 = sizes[li], sizes[li + 1]
+        fix = _sampled(gid, 0x85EBCA6B * (li + 1)) & lvl_valid
+        Q = _phase(Q, fix, gid, _R_A)
+
+        flg = Q[:, _DSF]
+        settled = (flg & _F_SETTLED) != 0
+        rooted = (flg & _F_ROOTED) != 0
+        unres = lvl_valid & ~settled & ~rooted
+        tmask = jnp.zeros((S,), bool).at[
+            jnp.where(unres, Q[:, _PTR], S)
+        ].set(True, mode="drop")
+        cmask = (fix | tmask) & lvl_valid
+        did = jnp.cumsum(cmask.astype(jnp.int32)) - 1
+        n_c = jnp.sum(cmask.astype(jnp.int32))
+        ok = ok & (n_c <= S1)
+        did = jnp.where(cmask, did, S1)  # drop slot for non-contracted
+
+        # build level li+1 (one fused row scatter: Q rows + gid)
+        rows = jnp.concatenate([Q, gid[:, None]], axis=1)
+        base = jnp.concatenate(
+            [_absorbing_filler(S1, M),
+             jnp.full((S1, 1), M, jnp.int32)], axis=1)
+        built = base.at[did].set(rows, mode="drop")
+        Q1 = built[:, :_COLS]
+        gid1 = built[:, _COLS]
+        valid1 = jnp.arange(S1, dtype=jnp.int32) < n_c
+        # remap ptr into the contracted space (rooted rows keep their
+        # ORIGINAL root id — absorbing, never dereferenced)
+        rooted1 = (Q1[:, _DSF] & _F_ROOTED) != 0
+        ptr_new = jnp.take(did, jnp.where(rooted1, 0, Q1[:, _PTR]),
+                           mode="clip")
+        Q1 = Q1.at[:, _PTR].set(jnp.where(rooted1, Q1[:, _PTR], ptr_new))
+        # a level hop clears SETTLED/FIX (they were level-local)
+        Q1 = Q1.at[:, _DSF].set(Q1[:, _DSF] & (_DMASK | _F_ROOTED))
+
+        stack.append((Q, did, S))
+        Q, gid, lvl_valid = Q1, gid1, valid1
+
+    # deepest level: plain doubling (no fixpoints), cap covers any cycle
+    S_last = sizes[-1]
+    F = _phase(Q, jnp.zeros((S_last,), bool), gid,
+               _max_rounds(S_last) + 1)
+
+    # upward composition
+    for (Qd, did, S) in reversed(stack):
+        rooted_hi = (F[:, _DSF] & _F_ROOTED) != 0
+        # convert F ptrs back to this level's local ids (rooted rows carry
+        # original root ids already; cycle rows' ptr is unused by finish)
+        parent = jnp.full((F.shape[0],), 0, jnp.int32)
+        parent = parent.at[did].set(jnp.arange(S, dtype=jnp.int32),
+                                    mode="drop")
+        Fp = jnp.where(rooted_hi, F[:, _PTR],
+                       jnp.take(parent, F[:, _PTR], mode="clip"))
+        F_conv = F.at[:, _PTR].set(Fp)
+        rooted_q = (Qd[:, _DSF] & _F_ROOTED) != 0
+        tgt = jnp.take(did, jnp.where(rooted_q, 0, Qd[:, _PTR]),
+                       mode="clip")
+        anc = jnp.take(F_conv, tgt, axis=0, mode="clip")
+        F = _composeF(Qd, anc)
+    return F, ok
+
+
+def plain_jumpF(pred: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Plain doubling in the packed-flag representation."""
+    M = pred.shape[0]
+    idx = jnp.arange(M, dtype=jnp.int32)
+    return _phase(_init_Q(pred, valid), jnp.zeros((M,), bool), idx,
+                  _max_rounds(M) + 1)
+
+
+def finish_fast(succ: jnp.ndarray, pred: jnp.ndarray, valid: jnp.ndarray,
+                state: jnp.ndarray):
+    """finish() on a packed-flag state: 1 gather + 2 row scatters total
+    (vs 4 gathers + 3 scatters + segment_max of the original)."""
+    M = succ.shape[0]
+    N = M // 2
+    idx = jnp.arange(M, dtype=jnp.int32)
+    succ = jnp.where(valid, succ, -1)
+    has_pred = pred >= 0
+
+    ptr = state[:, _PTR]
+    dist = state[:, _DSF] & _DMASK
+    mn = state[:, _MN]
+    dmn = state[:, _DMN]
+    rooted = (state[:, _DSF] & _F_ROOTED) != 0
+
+    in_cycle = valid & ~rooted
+    break_node = in_cycle & (mn == idx)
+    start = jnp.where(in_cycle, mn, ptr)
+    rank = jnp.where(in_cycle, dmn, dist)
+
+    is_start = valid & (~has_pred | break_node)
+    is_end = valid & ((succ < 0) | (in_cycle & (succ == mn)))
+
+    # one fused row scatter: end id + chain length land at the start node
+    erows = jnp.stack([idx, rank + 1], axis=1)
+    eo = jnp.full((M, 2), -1, jnp.int32).at[
+        jnp.where(is_end, start, M)
+    ].set(erows, mode="drop")
+    end_of = eo[:, 0]
+    length_at_start = eo[:, 1]
+
+    # mirror of mn is a half-rotation, not a gather
+    mmn = jnp.roll(mn, N)
+    mirror_start = jnp.where(
+        break_node, mmn, _mirror(jnp.where(end_of >= 0, end_of, idx), N)
+    )
+    keep = is_start & (end_of >= 0) & (idx < mirror_start)
+
+    uid_at_start = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    n_unitigs = jnp.sum(keep.astype(jnp.int32))
+
+    # one gather resolves both "is my start kept" and "its unitig id"
+    ks = jnp.where(keep, uid_at_start, -1)
+    val = jnp.take(ks, start, mode="clip")
+    uid = jnp.where(valid & (val >= 0), val, -1)
+
+    # compacted per-unitig outputs: one fused row scatter (circular flag
+    # packed into bit 30 of the length word; length <= M < 2^30)
+    pk = length_at_start | jnp.where(break_node, np.int32(1 << 30),
+                                     np.int32(0))
+    crows = jnp.stack([idx, pk], axis=1)
+    out2 = jnp.zeros((M, 2), jnp.int32).at[
+        jnp.where(keep, uid_at_start, M)
+    ].set(crows, mode="drop")
+    return {
+        "uid": uid,
+        "rank": jnp.where(uid >= 0, rank, 0),
+        "n_unitigs": n_unitigs,
+        "start_oid": out2[:, 0],
+        "length": out2[:, 1] & np.int32((1 << 30) - 1),
+        "circular": (out2[:, 1] & np.int32(1 << 30)) != 0,
+    }
+
+
 @jax.jit
 def chain_decompose(succ: jnp.ndarray, valid: jnp.ndarray):
     """Decompose the successor graph into deduplicated unitig chains.
@@ -224,5 +519,12 @@ def chain_decompose(succ: jnp.ndarray, valid: jnp.ndarray):
       circular: (2N,) bool per-unitig circular flag (compacted)
     """
     pred = build_pred(succ, valid)
-    state = jump_loop(pred, valid)
-    return finish(succ, pred, valid, state)
+    M = succ.shape[0]
+    if M >= _HIER_MIN:
+        state_h, ok = hier_jump(pred, valid)
+        state = jax.lax.cond(
+            ok, lambda _: state_h, lambda _: plain_jumpF(pred, valid), None
+        )
+    else:
+        state = plain_jumpF(pred, valid)
+    return finish_fast(succ, pred, valid, state)

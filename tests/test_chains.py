@@ -173,3 +173,78 @@ def test_random_mirror_graphs(seed):
         for members in got.values()
     )
     assert got_chains == py_chains(succ, valid, N)
+
+
+def _build_big_mirror_graph(seed, N, run_lens, n_cycles):
+    """Vectorized construction of a mirror-symmetric functional graph:
+    vertices are shuffled, cut into runs of the given lengths (the first
+    n_cycles runs closed into cycles), each vertex gets a random
+    orientation.  Returns (succ, run_lens_used, n_cycles)."""
+    rng = np.random.RandomState(seed)
+    M = 2 * N
+    perm = rng.permutation(N)
+    orient = rng.randint(0, 2, size=N)
+    o = perm + orient[perm] * N  # oriented node per chain position
+
+    succ = np.full(M, -1, np.int32)
+    pos = 0
+    used = []
+    for ri, ln in enumerate(run_lens):
+        if pos + ln > N:
+            break
+        run = o[pos:pos + ln]
+        pos += ln
+        used.append(ln)
+        src, dst = run[:-1], run[1:]
+        if ri < n_cycles and ln >= 2:
+            src = np.concatenate([src, run[-1:]])
+            dst = np.concatenate([dst, run[:1]])
+        succ[src] = dst
+        msrc = np.where(dst >= N, dst - N, dst + N)
+        mdst = np.where(src >= N, src - N, src + N)
+        succ[msrc] = mdst
+    # leftovers become singletons (no edges)
+    used += [1] * (N - pos)
+    return succ, used
+
+
+@pytest.mark.parametrize("N", [140_000, 600_000])
+def test_hierarchical_matches_plain_large(N):
+    """The hierarchical sampled-contraction jump (active above _HIER_MIN)
+    must produce the identical decomposition to the plain doubling loop on
+    a large graph mixing one giant chain, mid chains, cycles, singletons,
+    and invalid rows.  N=600k exercises multiple contraction levels (and
+    the salted per-level sampling); N=140k a single level."""
+    M = 2 * N
+    assert M >= chains._HIER_MIN
+    run_lens = ([7, 3, 12, 2] +          # first 4 are cycles
+                [100_000, 20_000] +       # giant + mid chains
+                [int(x) for x in np.random.RandomState(1).randint(
+                    1, 50, size=2000)])
+    succ, used = _build_big_mirror_graph(0, N, run_lens, n_cycles=4)
+    valid = np.ones(M, bool)
+    # invalidate 100 isolated vertices (they are singleton leftovers:
+    # no edges touch them, so dropping them removes 100 unitigs)
+    iso = [v for v in range(N)
+           if succ[v] == -1 and succ[v + N] == -1][:100]
+    assert len(iso) >= 20
+    for v in iso:
+        valid[v] = valid[v + N] = False
+        used.remove(1)
+    succ_j = jnp.asarray(succ)
+    valid_j = jnp.asarray(valid)
+
+    info_h = chains.chain_decompose(succ_j, valid_j)
+    # plain reference: old jump_loop + finish (kept for the sharded path)
+    pred = chains.build_pred(succ_j, valid_j)
+    state = chains.jump_loop(pred, valid_j)
+    info_p = chains.finish(succ_j, pred, valid_j, state)
+
+    n_h, n_p = int(info_h["n_unitigs"]), int(info_p["n_unitigs"])
+    assert n_h == n_p == len(used)
+    for key in ("uid", "rank", "start_oid", "length", "circular"):
+        assert np.array_equal(np.asarray(info_h[key]),
+                              np.asarray(info_p[key])), key
+    lens = sorted(np.asarray(info_h["length"])[:n_h].tolist())
+    assert lens == sorted(used)
+    assert int(np.asarray(info_h["circular"])[:n_h].sum()) == 4

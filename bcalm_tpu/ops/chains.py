@@ -252,7 +252,13 @@ def _composeF(q: jnp.ndarray, anc: jnp.ndarray) -> jnp.ndarray:
     ad = anc[:, _DSF]
     rooted_q = (qd & _F_ROOTED) != 0
     dq = qd & _DMASK
-    dist = dq + (ad & _DMASK)
+    # SATURATE: on a cycle dist doubles every round across contraction
+    # levels and would wrap into the flag bits (a >= 4-level cycle would
+    # end phase A spuriously SETTLED and be dropped).  Path spans are
+    # exact (<= M < 2^28, never saturate); cycle rank uses dmn, whose
+    # final better-update happens while the window is < 2x the cycle
+    # length, so dmn stays exact for cycles up to 2^27 nodes.
+    dist = jnp.minimum(dq + (ad & _DMASK), _DMASK)
     stop = (ad & (_F_FIX | _F_ROOTED)) != 0
     flg = ((qd | ad) & _F_ROOTED) | jnp.where(stop, _F_SETTLED,
                                               np.int32(0))

@@ -208,6 +208,47 @@ def _build_big_mirror_graph(seed, N, run_lens, n_cycles):
     return succ, used
 
 
+def test_deep_level_long_cycle(monkeypatch):
+    """Cycles that survive >= 4 contraction levels: dist doubles every
+    round across levels and must SATURATE at _DMASK instead of wrapping
+    into the flag bits (ADVICE r02 high: a wrap set _F_SETTLED spuriously,
+    dropping/corrupting the circular unitig).  Levels are forced by
+    shrinking _HIER_MIN/_FINAL_CAP; the long cycle plus paths are checked
+    against the plain-loop reference decomposition."""
+    monkeypatch.setattr(chains, "_HIER_MIN", 1 << 10)
+    monkeypatch.setattr(chains, "_FINAL_CAP", 1 << 8)
+    N = 1 << 15
+    M = 2 * N
+    # sizes: 65536 -> 16384 -> 4096 -> 1024 -> 256 (4 contraction levels).
+    # A short cycle with NO sampled fixpoint doubles freely 7 rounds per
+    # level; by level 3's contraction dist reaches 2^28 and (unfixed)
+    # wraps into the flag bits at a NON-final level, dropping the cycle
+    # from contraction.  30 independent 3-cycles make a 4-level evader
+    # near-certain (p~0.2 each) while keeping the surviving cycle rows
+    # within the deepest level's capacity (the ok-overflow guard would
+    # otherwise fall back to the plain loop and mask the bug).
+    run_lens = [3] * 30 + [5000, 97, 2000, 800] + [7] * 100
+    succ, used = _build_big_mirror_graph(3, N, run_lens, n_cycles=31)
+    valid = np.ones(M, bool)
+    succ_j = jnp.asarray(succ)
+    valid_j = jnp.asarray(valid)
+
+    pred = chains.build_pred(succ_j, valid_j)
+    state_h, ok = chains.hier_jump(pred, valid_j)
+    assert bool(ok)
+    info_h = chains.finish_fast(succ_j, pred, valid_j, state_h)
+
+    state = chains.jump_loop(pred, valid_j)
+    info_p = chains.finish(succ_j, pred, valid_j, state)
+
+    n_h, n_p = int(info_h["n_unitigs"]), int(info_p["n_unitigs"])
+    assert n_h == n_p == len(used)
+    for key in ("uid", "rank", "start_oid", "length", "circular"):
+        assert np.array_equal(np.asarray(info_h[key]),
+                              np.asarray(info_p[key])), key
+    assert int(np.asarray(info_h["circular"])[:n_h].sum()) == 31
+
+
 @pytest.mark.parametrize("N", [140_000, 600_000])
 def test_hierarchical_matches_plain_large(N):
     """The hierarchical sampled-contraction jump (active above _HIER_MIN)

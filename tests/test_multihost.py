@@ -23,11 +23,9 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.slow
-def test_two_process_mesh_counting():
+def _run_workers(port: int):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, "tests", "multihost_worker.py")
-    port = _free_port()
     procs = []
     for pid in range(2):
         env = dict(os.environ)
@@ -52,6 +50,21 @@ def test_two_process_mesh_counting():
                 q.kill()
             raise
         outs.append((p.returncode, out, err))
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_mesh_counting():
+    # the probed free port can be stolen between probe and the worker's
+    # bind (ADVICE r02); retry the whole spawn on a bind failure
+    for attempt in range(3):
+        outs = _run_workers(_free_port())
+        errs = "\n".join(err for _, _, err in outs)
+        if any(rc != 0 for rc, _, _ in outs) and (
+                "already in use" in errs or "Address in use" in errs
+                or "bind" in errs.lower()):
+            continue
+        break
     for rc, out, err in outs:
         assert rc == 0, f"worker failed (rc={rc}):\n{err[-3000:]}"
     assert any("MULTIHOST_OK" in out for _, out, _ in outs), outs

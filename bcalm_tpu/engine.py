@@ -441,13 +441,13 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
     return unique, counts, jnp.asarray(n_u, jnp.int32), stats
 
 
-@_partial(jax.jit, static_argnames=("k",))
-def _compact_solid_jit(solid, counts, n_solid, k):
+@_partial(jax.jit, static_argnames=("k", "variant"))
+def _compact_solid_jit(solid, counts, n_solid, k, variant="auto"):
     C = solid.shape[1]
     succ, out_deg = junctions_op.successor_arrays(solid, n_solid, k)
     oid = jnp.arange(2 * C, dtype=jnp.int32)
     valid_oriented = jnp.where(oid >= C, oid - C, oid) < n_solid
-    info = chains_op.chain_decompose(succ, valid_oriented)
+    info = chains_op.chain_decompose(succ, valid_oriented, variant=variant)
     return succ, out_deg, info
 
 
@@ -456,8 +456,18 @@ def compact_solid(solid: jnp.ndarray, counts: jnp.ndarray, n_solid: int, k: int)
 
     One fused jit program (junctions sort-join + chain decomposition): on
     the tunneled single-chip setup a dispatch round-trip costs ~27ms, so
-    stage fusion is a measurable win at bench scale."""
-    return _compact_solid_jit(solid, counts, jnp.asarray(n_solid, jnp.int32), k)
+    stage fusion is a measurable win at bench scale.
+
+    A negative n_unitigs signals the (astronomically unlikely) hierarchical
+    level-capacity overflow; retry once with the plain doubling loop.  The
+    check rides the n_unitigs fetch callers do anyway."""
+    succ, out_deg, info = _compact_solid_jit(
+        solid, counts, jnp.asarray(n_solid, jnp.int32), k)
+    if int(info["n_unitigs"]) < 0:
+        succ, out_deg, info = _compact_solid_jit(
+            solid, counts, jnp.asarray(n_solid, jnp.int32), k,
+            variant="plain")
+    return succ, out_deg, info
 
 
 def _decode_kmers_np(lanes_np: np.ndarray, k: int) -> np.ndarray:

@@ -44,6 +44,8 @@ rather than log2(N) when there are no cycles.
 
 from __future__ import annotations
 
+from functools import partial as _partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -103,14 +105,18 @@ def round_update(state: jnp.ndarray, anc: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_pred(succ: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Predecessor array (unique by construction: in-degree <= 1)."""
+    """Predecessor array (unique by construction: in-degree <= 1).
+
+    Scatter-free: the successor graph is mirror-symmetric (edge v->w
+    exists iff edge mirror(w)->mirror(v) exists), so
+    pred(v) = mirror(succ(mirror(v))) — a half-rotation (static
+    slice-concat) plus elementwise mirror of the values.  TPU scatters
+    run at ~25-160M idx/s; this replaces one entirely."""
     M = succ.shape[0]
-    idx = jnp.arange(M, dtype=jnp.int32)
+    N = M // 2
     succ = jnp.where(valid, succ, -1)
-    pred = jnp.full((M,), -1, dtype=jnp.int32)
-    return pred.at[jnp.where(succ >= 0, succ, M)].set(
-        jnp.where(succ >= 0, idx, -1), mode="drop"
-    )
+    s_m = jnp.concatenate([succ[N:], succ[:N]])  # succ[mirror(v)]
+    return jnp.where(s_m >= 0, _mirror(s_m, N), -1)
 
 
 def finish(succ: jnp.ndarray, pred: jnp.ndarray, valid: jnp.ndarray,
@@ -243,7 +249,10 @@ _HIER_MIN = 1 << 18     # below this, plain doubling wins (fewer passes)
 _FINAL_CAP = 1 << 15    # deepest level size: plain doubling there
 _SAMPLE_DIV = 8         # fixpoint sampling rate 1/8
 _LEVEL_SHRINK = 4       # static capacity per level
-_R_A = 7                # phase-A round cap (covers gaps <= 128)
+_R_A = 5                # phase-A round cap (covers gaps <= 32; at sample
+                        # rate 1/8, P(gap>32) = (7/8)^32 ~ 1.4%, and the
+                        # unresolved targets are contracted anyway via
+                        # tmask, well inside the S/4 level capacity)
 
 
 def _composeF(q: jnp.ndarray, anc: jnp.ndarray) -> jnp.ndarray:
@@ -287,12 +296,27 @@ def _identity_rows(local_idx, gid, flg_rooted):
 
 
 def _phase(Q0: jnp.ndarray, fix: jnp.ndarray, gid: jnp.ndarray,
-           rounds: int) -> jnp.ndarray:
-    """Doubling rounds with fixpoint identity serving, to convergence or cap."""
+           rounds: int, converge: bool = True) -> jnp.ndarray:
+    """Doubling rounds with fixpoint identity serving, to convergence or cap.
+
+    converge=False runs exactly `rounds` rounds under fori_loop, skipping
+    the full-table compare the while_loop convergence test costs per round
+    — right for short capped phases (phase A) where early exit is rare."""
     S = Q0.shape[0]
     local = jnp.arange(S, dtype=jnp.int32)
     rooted0 = (Q0[:, _DSF] & _F_ROOTED) != 0
     ident = _identity_rows(local, gid, rooted0)
+
+    def step(Q):
+        rooted = (Q[:, _DSF] & _F_ROOTED) != 0
+        T = jnp.where((fix & ~rooted)[:, None], ident, Q)
+        # rooted rows may carry original-space ptrs (absorbing, composed
+        # result discarded by the guard) — clip keeps the gather in-bounds
+        anc = jnp.take(T, Q[:, _PTR], axis=0, mode="clip")
+        return _composeF(Q, anc)
+
+    if not converge:
+        return jax.lax.fori_loop(0, rounds, lambda t, Q: step(Q), Q0)
 
     def cond(carry):
         Q, changed, t = carry
@@ -300,12 +324,7 @@ def _phase(Q0: jnp.ndarray, fix: jnp.ndarray, gid: jnp.ndarray,
 
     def body(carry):
         Q, _, t = carry
-        rooted = (Q[:, _DSF] & _F_ROOTED) != 0
-        T = jnp.where((fix & ~rooted)[:, None], ident, Q)
-        # rooted rows may carry original-space ptrs (absorbing, composed
-        # result discarded by the guard) — clip keeps the gather in-bounds
-        anc = jnp.take(T, Q[:, _PTR], axis=0, mode="clip")
-        new = _composeF(Q, anc)
+        new = step(Q)
         return new, jnp.any(new != Q), t + 1
 
     Q, _, _ = jax.lax.while_loop(
@@ -374,7 +393,7 @@ def hier_jump(pred: jnp.ndarray, valid: jnp.ndarray):
     for li in range(len(sizes) - 1):
         S, S1 = sizes[li], sizes[li + 1]
         fix = _sampled(gid, 0x85EBCA6B * (li + 1)) & lvl_valid
-        Q = _phase(Q, fix, gid, _R_A)
+        Q = _phase(Q, fix, gid, _R_A, converge=False)
 
         flg = Q[:, _DSF]
         settled = (flg & _F_SETTLED) != 0
@@ -389,15 +408,19 @@ def hier_jump(pred: jnp.ndarray, valid: jnp.ndarray):
         ok = ok & (n_c <= S1)
         did = jnp.where(cmask, did, S1)  # drop slot for non-contracted
 
-        # build level li+1 (one fused row scatter: Q rows + gid)
-        rows = jnp.concatenate([Q, gid[:, None]], axis=1)
-        base = jnp.concatenate(
-            [_absorbing_filler(S1, M),
-             jnp.full((S1, 1), M, jnp.int32)], axis=1)
-        built = base.at[did].set(rows, mode="drop")
-        Q1 = built[:, :_COLS]
-        gid1 = built[:, _COLS]
+        # build level li+1 by sort-based selection (a 1-column sort of the
+        # selected indices + an S1-sized row gather; a full-size scatter
+        # here ran ~10-40x slower on v5e and was why the hier path lost
+        # to plain doubling in round 2)
+        lidx = jnp.arange(S, dtype=jnp.int32)
+        sel = jnp.sort(
+            jnp.where(cmask, lidx.astype(jnp.uint32), np.uint32(0xFFFFFFFF))
+        )[:S1]
+        pos = jnp.minimum(sel, np.uint32(S - 1)).astype(jnp.int32)
         valid1 = jnp.arange(S1, dtype=jnp.int32) < n_c
+        Q1 = jnp.where(valid1[:, None], jnp.take(Q, pos, axis=0),
+                       _absorbing_filler(S1, M))
+        gid1 = jnp.where(valid1, jnp.take(gid, pos), M)
         # remap ptr into the contracted space (rooted rows keep their
         # ORIGINAL root id — absorbing, never dereferenced)
         rooted1 = (Q1[:, _DSF] & _F_ROOTED) != 0
@@ -466,13 +489,13 @@ def finish_fast(succ: jnp.ndarray, pred: jnp.ndarray, valid: jnp.ndarray,
     is_start = valid & (~has_pred | break_node)
     is_end = valid & ((succ < 0) | (in_cycle & (succ == mn)))
 
-    # one fused row scatter: end id + chain length land at the start node
-    erows = jnp.stack([idx, rank + 1], axis=1)
-    eo = jnp.full((M, 2), -1, jnp.int32).at[
-        jnp.where(is_end, start, M)
-    ].set(erows, mode="drop")
-    end_of = eo[:, 0]
-    length_at_start = eo[:, 1]
+    # end id + chain length land at the start node.  Measured on v5e:
+    # multi-column scatters serialize ~10x slower than per-column scatters
+    # (85ms vs 2x9ms at M=2^21), so scatter each column separately.
+    e_dst = jnp.where(is_end, start, M)
+    end_of = jnp.full((M,), -1, jnp.int32).at[e_dst].set(idx, mode="drop")
+    length_at_start = jnp.full((M,), -1, jnp.int32).at[e_dst].set(
+        rank + 1, mode="drop")
 
     # mirror of mn is a half-rotation, not a gather
     mmn = jnp.roll(mn, N)
@@ -489,48 +512,56 @@ def finish_fast(succ: jnp.ndarray, pred: jnp.ndarray, valid: jnp.ndarray,
     val = jnp.take(ks, start, mode="clip")
     uid = jnp.where(valid & (val >= 0), val, -1)
 
-    # compacted per-unitig outputs: one fused row scatter (circular flag
-    # packed into bit 30 of the length word; length <= M < 2^30)
+    # compacted per-unitig outputs (per-column scatters: multi-column
+    # scatters serialize ~10x slower on TPU; circular flag packed into
+    # bit 30 of the length word; length <= M < 2^30)
     pk = length_at_start | jnp.where(break_node, np.int32(1 << 30),
                                      np.int32(0))
-    crows = jnp.stack([idx, pk], axis=1)
-    out2 = jnp.zeros((M, 2), jnp.int32).at[
-        jnp.where(keep, uid_at_start, M)
-    ].set(crows, mode="drop")
+    u_dst = jnp.where(keep, uid_at_start, M)
+    start_oid = jnp.zeros((M,), jnp.int32).at[u_dst].set(idx, mode="drop")
+    lenw = jnp.zeros((M,), jnp.int32).at[u_dst].set(pk, mode="drop")
     return {
         "uid": uid,
         "rank": jnp.where(uid >= 0, rank, 0),
         "n_unitigs": n_unitigs,
-        "start_oid": out2[:, 0],
-        "length": out2[:, 1] & np.int32((1 << 30) - 1),
-        "circular": (out2[:, 1] & np.int32(1 << 30)) != 0,
+        "start_oid": start_oid,
+        "length": lenw & np.int32((1 << 30) - 1),
+        "circular": (lenw & np.int32(1 << 30)) != 0,
     }
 
 
-@jax.jit
-def chain_decompose(succ: jnp.ndarray, valid: jnp.ndarray):
+@_partial(jax.jit, static_argnames=("variant",))
+def chain_decompose(succ: jnp.ndarray, valid: jnp.ndarray,
+                    variant: str = "auto"):
     """Decompose the successor graph into deduplicated unitig chains.
 
     Args:
       succ:  (2N,) int32 oriented successor ids (-1 = none); mirror-symmetric
       valid: (2N,) bool — oriented node is backed by a real solid k-mer
+      variant: "auto" (hierarchical above _HIER_MIN), "plain", or "hier"
 
     Returns dict with:
       uid:      (2N,) int32 unitig id per oriented node (-1 if node's chain
                 was dropped as a mirror duplicate or node invalid)
       rank:     (2N,) int32 position of the node within its unitig
-      n_unitigs: () int32
+      n_unitigs: () int32 — NEGATIVE iff the hierarchical path overflowed a
+                level capacity (astronomically unlikely); the caller must
+                rerun with variant="plain" (engine.compact_solid does).
+                A data-dependent lax.cond fallback here would compile BOTH
+                jump loops into every program (round-2 bench: 47.5s compact
+                warmup), so the rare retry is host-driven instead.
       start_oid:(2N,) int32 per-unitig start oriented node (compacted)
       length:   (2N,) int32 per-unitig k-mer count (compacted)
       circular: (2N,) bool per-unitig circular flag (compacted)
     """
     pred = build_pred(succ, valid)
     M = succ.shape[0]
-    if M >= _HIER_MIN:
-        state_h, ok = hier_jump(pred, valid)
-        state = jax.lax.cond(
-            ok, lambda _: state_h, lambda _: plain_jumpF(pred, valid), None
-        )
+    use_hier = variant == "hier" or (variant == "auto" and M >= _HIER_MIN)
+    if use_hier:
+        state, ok = hier_jump(pred, valid)
     else:
         state = plain_jumpF(pred, valid)
-    return finish_fast(succ, pred, valid, state)
+        ok = jnp.asarray(True)
+    info = finish_fast(succ, pred, valid, state)
+    info["n_unitigs"] = jnp.where(ok, info["n_unitigs"], -1)
+    return info

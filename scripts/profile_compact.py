@@ -1,4 +1,8 @@
-"""Profile compaction stages + raw gather shapes on the real chip.
+"""Profile the compaction stage breakdown on the real device.
+
+Measures at a given solid-set scale: junctions sort-join, plain doubling,
+hierarchical jumping, finish, and the raw row-gather rate that bounds the
+jump loops.
 
 Usage: python scripts/profile_compact.py [n_solid_log2=20]
 """
@@ -6,122 +10,121 @@ import sys
 import time
 
 import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
 
 from bcalm_tpu.utils.jaxcache import enable_cache
 
 enable_cache()
 
-import jax
-import jax.numpy as jnp
-
 from bcalm_tpu import engine
-from bcalm_tpu.ops import chains as chains_op
-from bcalm_tpu.ops import junctions as junctions_op
+from bcalm_tpu.ops import chains as C
+from bcalm_tpu.ops import count as count_op
+from bcalm_tpu.ops import junctions as J
+from bcalm_tpu.io import packing
+from bcalm_tpu.models import lanes as ln
 
 
 def timeit(fn, *args, n=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    jax.block_until_ready(fn(*args))  # compile
     ts = []
     for _ in range(n):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    return min(ts), out
+        t0 = time.time()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def build_solid(lg: int, k: int):
+    """Solid set from a random genome: one giant chain (worst case for
+    pointer jumping) with every k-mer distinct."""
+    target = (1 << lg) - 7
+    rng = np.random.RandomState(0)
+    genome_codes = rng.randint(0, 4, size=target + k - 1).astype(np.uint8)
+    lut = np.frombuffer(b"ACTG", np.uint8)
+    genome = lut[genome_codes].tobytes().decode()
+    # long overlapping reads keep all k-mers
+    max_len = 1024
+    reads = [genome[i:i + max_len]
+             for i in range(0, len(genome) - k + 1, max_len - (k - 1))]
+    cfg = engine.EngineConfig(k=k, abundance_min=1, block_reads=4096,
+                              max_len=max_len, chunk_kmers=8 * 1024 * 1024)
+    blocks = packing.iter_blocks(reads, k, block_reads=cfg.block_reads,
+                                 max_len=max_len)
+    unique, counts, n_unique, stats = engine.count_blocks(blocks, cfg)
+    n_u = int(n_unique)
+    cap = engine._round_capacity(max(1, n_u))
+    solid, scounts, n_solid = count_op.filter_abundance(
+        unique[:, :cap], counts[:cap], jnp.asarray(n_u, jnp.int32), 1,
+        2**31 - 1)
+    ns = int(n_solid)
+    cap2 = engine._round_capacity(ns)
+    return solid[:, :cap2], scounts[:cap2], ns
 
 
 def main():
     lg = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    M = 2 ** (lg + 1)  # oriented nodes
-    print(f"devices: {jax.devices()}", flush=True)
+    k = 31
+    t0 = time.time()
+    solid, counts, n_solid = build_solid(lg, k)
+    cap = solid.shape[1]
+    M = 2 * cap
+    print(f"devices={jax.devices()}")
+    print(f"n_solid={n_solid} cap={cap} M={M} (built in {time.time()-t0:.1f}s)")
 
-    # --- raw gather shapes ---
-    rng = np.random.RandomState(0)
-    idx = jnp.asarray(rng.randint(0, M, size=M).astype(np.int32))
-    rows4 = jnp.asarray(rng.randint(0, 2**31, size=(M, 4)).astype(np.int32))
-    rows2 = jnp.asarray(rng.randint(0, 2**31, size=(M, 2)).astype(np.int32))
-    flat = jnp.asarray(rng.randint(0, 2**31, size=(M,)).astype(np.int32))
-    f4 = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
-    t, _ = timeit(f4, rows4, idx)
-    print(f"gather rows4  (M={M}): {t*1e3:.2f}ms = {M/t/1e6:.0f}M idx/s")
-    t, _ = timeit(f4, rows2, idx)
-    print(f"gather rows2  (M={M}): {t*1e3:.2f}ms = {M/t/1e6:.0f}M idx/s")
-    f1 = jax.jit(lambda t, i: jnp.take(t, i))
-    t, _ = timeit(f1, flat, idx)
-    print(f"gather flat   (M={M}): {t*1e3:.2f}ms = {M/t/1e6:.0f}M idx/s")
-    f1x4 = jax.jit(lambda a, b, c, d, i: (jnp.take(a, i), jnp.take(b, i),
-                                          jnp.take(c, i), jnp.take(d, i)))
-    t, _ = timeit(f1x4, flat, flat, flat, flat, idx)
-    print(f"gather 4xflat (M={M}): {t*1e3:.2f}ms = {M/t/1e6:.0f}M idx/s")
-    # sorted (coalesced-ish) indices for comparison
-    sidx = jnp.sort(idx)
-    t, _ = timeit(f4, rows4, sidx)
-    print(f"gather rows4 sorted idx: {t*1e3:.2f}ms")
-    # scatter
-    fsc = jax.jit(lambda t, i, v: t.at[i].set(v))
-    t, _ = timeit(fsc, flat, idx, flat)
-    print(f"scatter flat  (M={M}): {t*1e3:.2f}ms = {M/t/1e6:.0f}M idx/s")
+    ns_dev = jnp.asarray(n_solid, jnp.int32)
 
-    # --- one doubling round ---
-    state = jnp.asarray(
-        np.stack([rng.randint(0, M, size=M),
-                  rng.randint(0, 100, size=M),
-                  rng.randint(0, M, size=M),
-                  rng.randint(0, 100, size=M)], axis=1).astype(np.int32))
+    # --- stage 1: junctions sort-join ---
+    succ_fn = jax.jit(lambda s, n: J.successor_arrays(s, n, k)[0])
+    t = timeit(succ_fn, solid, ns_dev)
+    print(f"junctions: {t*1e3:8.1f}ms  ({n_solid/t/1e6:.1f}M solid/s)")
+    succ = succ_fn(solid, ns_dev)
+    oid = jnp.arange(M, dtype=jnp.int32)
+    valid = jnp.where(oid >= cap, oid - cap, oid) < ns_dev
 
-    @jax.jit
-    def one_round(state):
-        anc = jnp.take(state, state[:, 0], axis=0)
-        return chains_op.round_update(state, anc)
+    pred_fn = jax.jit(C.build_pred)
+    t = timeit(pred_fn, succ, valid)
+    print(f"build_pred: {t*1e3:7.1f}ms")
+    pred = pred_fn(succ, valid)
 
-    t, _ = timeit(one_round, state)
-    print(f"one round_update (M={M}): {t*1e3:.2f}ms")
+    # --- raw gather rate: one (M,4) row gather ---
+    state0 = jax.jit(C._init_Q)(pred, valid)
+    ridx = jnp.asarray(np.random.RandomState(1).randint(0, M, size=M),
+                       jnp.int32)
+    g_fn = jax.jit(lambda s, i: jnp.take(s, i, axis=0))
+    t = timeit(g_fn, state0, ridx)
+    print(f"row gather (M,4): {t*1e3:7.1f}ms  ({M/t/1e6:.0f}M idx/s)")
+    # sorted indices
+    sidx = jnp.sort(ridx)
+    t = timeit(g_fn, state0, sidx)
+    print(f"row gather sorted: {t*1e3:6.1f}ms  ({M/t/1e6:.0f}M idx/s)")
+    # 1-col gather
+    g1_fn = jax.jit(lambda s, i: jnp.take(s[:, 0], i))
+    t = timeit(g1_fn, state0, ridx)
+    print(f"col gather (M,): {t*1e3:8.1f}ms  ({M/t/1e6:.0f}M idx/s)")
 
-    # --- realistic single-chain workload (bench shape: 150bp reads) ---
-    n_solid = 2 ** lg - 37
-    cfg = engine.EngineConfig(k=31, abundance_min=1, block_reads=8192,
-                              max_len=150)
-    g = rng.randint(0, 4, size=n_solid + 31)
-    genome = "".join("ACTG"[c] for c in g)
-    reads = [genome[i:i + 150] for i in range(0, len(genome) - 149, 120)]
-    reads.append(genome[-150:])
-    from bcalm_tpu.io import packing
-    blocks = packing.iter_blocks(reads, 31, block_reads=8192, max_len=150)
-    solid_np, counts_np, histo, stats = engine.count_and_filter(blocks, cfg)
-    ns = solid_np.shape[1]
-    print(f"solid set: {ns}")
-    cap = engine._round_capacity(ns)
-    L = solid_np.shape[0]
-    solid = jnp.asarray(np.concatenate(
-        [solid_np, np.zeros((L, cap - ns), np.uint32)], axis=1))
-    counts = jnp.asarray(np.concatenate(
-        [counts_np, np.zeros((cap - ns,), np.int32)]))
+    # --- plain doubling ---
+    plain_fn = jax.jit(C.plain_jumpF)
+    t = timeit(plain_fn, pred, valid, n=3)
+    print(f"plain_jumpF: {t*1e3:6.1f}ms  ({n_solid/t/1e6:.2f}M glued/s)")
+    state_p = plain_fn(pred, valid)
 
-    sa = jax.jit(junctions_op.successor_arrays, static_argnames=("k",))
-    t, (succ, _) = timeit(sa, solid, jnp.asarray(ns, jnp.int32), 31)
-    print(f"successor_arrays: {t*1e3:.2f}ms")
+    # --- hierarchical ---
+    hier_fn = jax.jit(lambda p, v: C.hier_jump(p, v)[0])
+    t = timeit(hier_fn, pred, valid, n=3)
+    print(f"hier_jump: {t*1e3:8.1f}ms  ({n_solid/t/1e6:.2f}M glued/s)")
 
-    oid = np.arange(2 * cap, dtype=np.int64)
-    valid_oriented = jnp.asarray((oid % cap) < ns)
+    # --- finish ---
+    fin_fn = jax.jit(C.finish_fast)
+    t = timeit(fin_fn, succ, pred, valid, state_p)
+    print(f"finish_fast: {t*1e3:6.1f}ms")
 
-    bp = jax.jit(chains_op.build_pred)
-    t, pred = timeit(bp, succ, valid_oriented)
-    print(f"build_pred: {t*1e3:.2f}ms")
-
-    jl = jax.jit(chains_op.jump_loop)
-    t, state = timeit(jl, pred, valid_oriented)
-    print(f"jump_loop: {t*1e3:.2f}ms")
-
-    fin = jax.jit(chains_op.finish)
-    t, info = timeit(fin, succ, pred, valid_oriented, state)
-    print(f"finish: {t*1e3:.2f}ms  n_unitigs={int(info['n_unitigs'])}")
-
-    cd = jax.jit(chains_op.chain_decompose)
-    t, info = timeit(cd, succ, valid_oriented)
-    print(f"chain_decompose total: {t*1e3:.2f}ms")
-    total = timeit(sa, solid, jnp.asarray(ns, jnp.int32), 31)[0] + t
-    print(f"compact total: {total*1e3:.2f}ms = {ns/total/1e6:.2f}M glued/s")
+    # --- full compact_solid ---
+    t = timeit(lambda: engine.compact_solid(solid, counts, n_solid, k)[2][
+        "n_unitigs"].block_until_ready(), n=3)
+    print(f"compact_solid: {t*1e3:4.1f}ms  ({n_solid/t/1e6:.2f}M glued/s)")
 
 
 if __name__ == "__main__":

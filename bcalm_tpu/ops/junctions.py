@@ -88,6 +88,16 @@ def _make_keys(keys: jnp.ndarray, strand: jnp.ndarray, valid, k: int):
 def successor_arrays(solid: jnp.ndarray, n_solid: jnp.ndarray, k: int):
     """Successor array over the 2N oriented nodes.
 
+    Halved entry set (2N instead of 4N): each (key, strand=1) group is the
+    exact mirror image of the (key, strand=0) group, so only the strand-0
+    representative of each physical side is emitted and every found edge
+    (src -> dst) also sets its mirror edge mirror(dst) -> mirror(src).
+    Palindromic sides are dropped outright: a palindromic key's group can
+    only contain entries from palindromic sides, so it pairs either two
+    entries of one side (the hairpin succ[i] = i+N, rejected by the
+    vertex-inequality rule) or >= 4 entries (a junction) — never a unitig
+    edge.  This also removes the strand bit from the sort keys entirely.
+
     Returns:
       succ: (2N,) int32 — unitig-successor oriented id, -1 if none
     """
@@ -98,36 +108,33 @@ def successor_arrays(solid: jnp.ndarray, n_solid: jnp.ndarray, k: int):
     pre_c, tau = ln.canonical(pre, k - 1)
     suf_pal = ln.is_palindrome(suf, k - 1)
     pre_pal = ln.is_palindrome(pre, k - 1)
-    one = np.uint32(1)
-    sig = jnp.where(suf_pal, False, sig).astype(_U32)
-    tau = jnp.where(pre_pal, False, tau).astype(_U32)
-    inv_sig = jnp.where(suf_pal, np.uint32(0), one - sig)
-    inv_tau = jnp.where(pre_pal, np.uint32(0), one - tau)
 
     ids = jnp.arange(N, dtype=jnp.int32)
     valid1 = ids < n_solid
 
-    # entries: [suffix-OUT(i), suffix-IN(i+N), prefix-IN(i), prefix-OUT(i+N)]
+    # strand-0 representatives:
+    #   suffix side: sig=0 -> OUT(i),   sig=1 -> IN(i+N)
+    #   prefix side: tau=0 -> IN(i),    tau=1 -> OUT(i+N)
+    L2 = suf_c.shape[0]
     keys = jnp.concatenate([
-        _make_keys(suf_c, sig, valid1, k),
-        _make_keys(suf_c, inv_sig, valid1, k),
-        _make_keys(pre_c, tau, valid1, k),
-        _make_keys(pre_c, inv_tau, valid1, k),
+        jnp.where((valid1 & ~suf_pal)[None], suf_c, SENTINEL),
+        jnp.where((valid1 & ~pre_pal)[None], pre_c, SENTINEL),
     ], axis=1)
-    oid = jnp.concatenate([ids, ids + N, ids, ids + N]).astype(jnp.uint32)
-    role = jnp.concatenate([
-        jnp.zeros((N,), _U32), jnp.ones((N,), _U32),
-        jnp.ones((N,), _U32), jnp.zeros((N,), _U32),
+    oid_s = jnp.where(sig, ids + N, ids).astype(_U32)
+    oid_p = jnp.where(tau, ids + N, ids).astype(_U32)
+    role_s = sig.astype(_U32)        # ROLE_OUT=0 when sig=0
+    role_p = (~tau).astype(_U32)     # ROLE_IN=1 when tau=0
+    payload = jnp.concatenate([
+        oid_s | (role_s << _ROLE_SHIFT),
+        oid_p | (role_p << _ROLE_SHIFT),
     ])
-    payload = oid | (role << _ROLE_SHIFT)
 
     from bcalm_tpu.ops import sort_tpu
 
-    K = keys.shape[0]
-    out = sort_tpu.sort_ops([keys[j] for j in range(K)] + [payload], num_keys=K)
-    s_keys = jnp.stack(out[:K], axis=0)
-    s_pay = out[K]
-    E = s_pay.shape[0]
+    out = sort_tpu.sort_ops(
+        [keys[j] for j in range(L2)] + [payload], num_keys=L2)
+    s_keys = jnp.stack(out[:L2], axis=0)
+    s_pay = out[L2]
 
     s_valid = s_keys[0] != SENTINEL
     eq_prev = jnp.concatenate([
@@ -153,8 +160,15 @@ def successor_arrays(solid: jnp.ndarray, n_solid: jnp.ndarray, k: int):
     src = jnp.where(role_a == ROLE_OUT, oid_a, oid_b)
     dst = jnp.where(role_a == ROLE_OUT, oid_b, oid_a)
 
+    # each pair writes twice: the head slot writes succ[src] = dst, the
+    # partner slot (one to the right) writes the mirror edge
+    ok_t = jnp.concatenate([jnp.zeros((1,), bool), ok[:-1]])
+    src_t = jnp.concatenate([jnp.zeros((1,), jnp.int32), src[:-1]])
+    dst_t = jnp.concatenate([jnp.zeros((1,), jnp.int32), dst[:-1]])
+    mirror = lambda x: jnp.where(x >= N, x - N, x + N)
+    widx = jnp.where(ok, src, jnp.where(ok_t, mirror(dst_t), 2 * N))
+    wval = jnp.where(ok, dst, mirror(src_t))
+
     succ = jnp.full((2 * N,), -1, dtype=jnp.int32)
-    succ = succ.at[jnp.where(ok, src, 2 * N)].set(
-        jnp.where(ok, dst, -1), mode="drop"
-    )
+    succ = succ.at[widx].set(wval, mode="drop")
     return succ, None

@@ -208,7 +208,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     skip_bcalm = props.get_bool("-skip-bcalm")
     skip_bglue = props.get_bool("-skip-bglue")
 
-    solid = counts = histo = None
+    solid = counts = minpos = histo = None
     stats = {}
     if skip_bcalm:
         # EXPLICIT resume only (scripts/pufferize.py:143 semantics): a
@@ -222,7 +222,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 1
         try:
             with ti.timer("load_counts"):
-                solid, counts = store.read_counts(k)
+                solid, counts, minpos = store.read_counts(k)
         except ValueError as e:
             print(f"-skip-bcalm: {e}", file=sys.stderr)
             return 1
@@ -242,6 +242,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             keep = ((counts >= cfg.abundance_min)
                     & (counts <= cfg.abundance_max))
             solid, counts = solid[:, keep], counts[keep]
+            if minpos is not None:
+                minpos = minpos[keep]
         histo = store.read_histogram()
         if verbose:
             print(f"reusing stored counts: {solid.shape[1]} solid k-mers "
@@ -317,7 +319,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 stats = {}
                 for p in bank.paths:
                     sub = bank_mod.Bank([p])
-                    s_i, c_i, _, st = engine.count_and_filter(
+                    s_i, c_i, _, _, st = engine.count_and_filter(
                         counted_blocks(sub), cfg1)
                     runs.append((s_i, c_i))
                     for key in ("reads", "bases", "kmer_occurrences"):
@@ -336,7 +338,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 stats["distinct_kmers"] = int(lanes.shape[1])
                 stats["solid_kmers"] = int(solid.shape[1])
             else:
-                solid, counts, histo, stats = engine.count_and_filter(
+                solid, counts, minpos, histo, stats = engine.count_and_filter(
                     counted_blocks(), cfg)
                 if auto_amin:
                     cfg.abundance_min = engine.auto_abundance_min(
@@ -344,13 +346,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                     keep = ((counts >= cfg.abundance_min)
                             & (counts <= cfg.abundance_max))
                     solid, counts = solid[:, keep], counts[keep]
+                    minpos = minpos[keep]
                     stats["solid_kmers"] = int(solid.shape[1])
             progress.done()
             if auto_amin and verbose:
                 print(f"auto abundance-min = {cfg.abundance_min}")
         with ti.timer("store"):
             store.write_counts(
-                solid, counts, k, histogram=histo,
+                solid, counts, k, histogram=histo, minpos=minpos,
                 config={"abundance_min": cfg.abundance_min,
                         "abundance_max": cfg.abundance_max,
                         "solidity_kind": solidity_kind})
@@ -386,7 +389,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             us = engine.compact_from_counts(
                 solid, counts, cfg, only_uf=only_uf,
                 uf_stats=props.get_bool("-uf-stats"),
-                chain_info=chain_info)
+                chain_info=chain_info, minpos_np=minpos)
         except ValueError as e:
             print(f"-skip-bglue: {e}", file=sys.stderr)
             return 1

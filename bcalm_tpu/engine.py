@@ -120,6 +120,13 @@ def _refold_tail(unique, n_u):
     return jnp.where((idx < n_u)[None], unique, count_op.SENTINEL)
 
 
+@jax.jit
+def _refold_tail1(arr, n_u):
+    """1-D variant of _refold_tail (for the first-occurrence key row)."""
+    idx = jnp.arange(arr.shape[0], dtype=jnp.int32)
+    return jnp.where(idx < n_u, arr, count_op.SENTINEL)
+
+
 @_partial(jax.jit, donate_argnums=(0,))
 def _chunk_insert(buf, piece, offset):
     """Write a fixed-size folded block into the chunk buffer at a traced
@@ -132,20 +139,32 @@ def _chunk_insert(buf, piece, offset):
 
 
 @_partial(jax.jit, static_argnames=("k",))
-def _extract_fold(words, lengths, k):
+def _extract_fold(words, lengths, k, slot_base=np.uint32(0)):
     """One-jit per-block frontend: extract + canonicalize + sentinel-fold.
 
     Keeping this a single compiled call matters: eager per-op dispatch over
-    the tunneled TPU backend costs ~ms per primitive."""
-    canon, valid = extract_op.extract_canonical(words, lengths, k)
+    the tunneled TPU backend costs ~ms per primitive.
+
+    The last folded row is the first-occurrence key of each slot,
+    ((slot_base + stream slot index) << 1) | rc-strand: chain-adjacent
+    k-mers get adjacent keys, which ops.runchains turns into contraction
+    locality.  Key wraparound past 2^31 slots only degrades that locality,
+    never correctness."""
+    canon, valid, use_rc = extract_op.extract_canonical(
+        words, lengths, k, with_strand=True)
     # positions past W*16-k can never hold a k-mer: slice them off so the
     # chunk sorts never see those sentinel slots (k-1 columns, ~20% at
     # typical short-read lengths)
     P_eff = max(1, canon.shape[2] - (k - 1))
     canon = canon[:, :, :P_eff]
     valid = valid[:, :P_eff]
+    use_rc = use_rc[:, :P_eff]
     L = canon.shape[0]
-    folded = count_op.fold_sentinel(canon.reshape(L, -1), valid.reshape(-1))
+    F = canon.shape[1] * P_eff
+    slot = slot_base + jnp.arange(F, dtype=jnp.uint32)
+    pos = (slot << np.uint32(1)) | use_rc.reshape(-1).astype(jnp.uint32)
+    rows = jnp.concatenate([canon.reshape(L, -1), pos[None]], axis=0)
+    folded = count_op.fold_sentinel(rows, valid.reshape(-1))
     return folded, jnp.sum(valid.astype(jnp.int32))
 
 
@@ -162,7 +181,8 @@ def _lanes_to_records(lanes_np: np.ndarray) -> np.ndarray:
     return rec
 
 
-def _device_range_merge(lanes_np: np.ndarray, counts_np: np.ndarray):
+def _device_range_merge(lanes_np: np.ndarray, counts_np: np.ndarray,
+                        pos_np: Optional[np.ndarray] = None):
     """Merge one key-range's concatenated run slices on-device (weighted
     dedup) and fetch the exact-size distinct result back to host."""
     from bcalm_tpu.ops import count as count_op
@@ -175,11 +195,21 @@ def _device_range_merge(lanes_np: np.ndarray, counts_np: np.ndarray):
     weights[:n] = counts_np
     lanes_d = jnp.asarray(lanes)
     valid = ~jnp.all(lanes_d == count_op.SENTINEL, axis=0)
+    if pos_np is not None:
+        pos = np.full((cap,), count_op.SENTINEL, np.uint32)
+        pos[:n] = pos_np
+        unique, counts, n_unique, minpos = count_op.count_canonical(
+            lanes_d, valid, weights=jnp.asarray(weights), weighted=True,
+            pos=jnp.asarray(pos), with_pos=True,
+        )
+        n_u = int(n_unique)
+        return (np.asarray(unique)[:, :n_u], np.asarray(counts)[:n_u],
+                np.asarray(minpos)[:n_u])
     unique, counts, n_unique = count_op.count_canonical(
         lanes_d, valid, weights=jnp.asarray(weights), weighted=True
     )
     n_u = int(n_unique)
-    return np.asarray(unique)[:, :n_u], np.asarray(counts)[:n_u]
+    return np.asarray(unique)[:, :n_u], np.asarray(counts)[:n_u], None
 
 
 def merge_host_runs(runs, merge_cap: int):
@@ -195,16 +225,23 @@ def merge_host_runs(runs, merge_cap: int):
     when every entry shares one full key, which is capped by the run count
     (each run holds distinct k-mers), so termination is guaranteed.
 
-    Returns (lanes_np (L, n), counts_np (n,), n_ranges).
+    Runs may be (lanes, counts) pairs or (lanes, counts, pos) triples; the
+    first-occurrence keys are merged by min (the pos sort-key trick in
+    count_canonical) when every run carries them.
+
+    Returns (lanes_np (L, n), counts_np (n,), pos_np-or-None, n_ranges).
     """
-    runs = [(u, c) for u, c in runs if c.size]
+    runs = [r for r in runs if r[1].size]
     if not runs:
-        return None, None, 0
+        return None, None, None, 0
+    has_pos = all(len(r) >= 3 and r[2] is not None for r in runs)
+    runs = [(r[0], r[1], r[2] if has_pos else None) for r in runs]
     L = runs[0][0].shape[0]
-    recs = [_lanes_to_records(u) for u, _ in runs]
+    recs = [_lanes_to_records(u) for u, _, _ in runs]
     merge_cap = max(1 << 10, merge_cap)
     out_l: list = []
     out_c: list = []
+    out_p: list = []
     n_ranges = 0
     # stack of ranges (per-run [lo, hi) boundaries), rightmost key range
     # pushed first so ranges are emitted in ascending key order
@@ -243,17 +280,23 @@ def merge_host_runs(runs, merge_cap: int):
             # cand.size == 1: every entry shares one key (size <= n_runs
             # <= merge_cap in practice); fall through and merge as-is
         lanes_np = np.concatenate(
-            [u[:, lo:hi] for (u, _), (lo, hi) in zip(runs, bounds)], axis=1)
+            [u[:, lo:hi] for (u, _, _), (lo, hi) in zip(runs, bounds)],
+            axis=1)
         counts_np = np.concatenate(
-            [c[lo:hi] for (_, c), (lo, hi) in zip(runs, bounds)])
-        ml, mc = _device_range_merge(lanes_np, counts_np)
+            [c[lo:hi] for (_, c, _), (lo, hi) in zip(runs, bounds)])
+        pos_np = (np.concatenate(
+            [p[lo:hi] for (_, _, p), (lo, hi) in zip(runs, bounds)])
+            if has_pos else None)
+        ml, mc, mp = _device_range_merge(lanes_np, counts_np, pos_np)
         out_l.append(ml)
         out_c.append(mc)
+        out_p.append(mp)
         n_ranges += 1
     lanes = (np.concatenate(out_l, axis=1) if out_l
              else np.zeros((L, 0), np.uint32))
     counts = (np.concatenate(out_c) if out_c else np.zeros((0,), np.int32))
-    return lanes, counts, n_ranges
+    pos = (np.concatenate(out_p) if (has_pos and out_p) else None)
+    return lanes, counts, pos, n_ranges
 
 
 def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
@@ -271,29 +314,38 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
     set exceeds HBM complete, returning HOST arrays instead of device
     arrays (stats carries "ooc_spilled_runs"/"ooc_merge_ranges").
 
-    Returns (unique, counts, n_unique, stats) — device arrays sorted and
-    compacted to the front (host arrays of exact size on the spill path).
+    Every distinct k-mer also carries its FIRST-OCCURRENCE key
+    ((stream slot << 1) | rc-strand, min over occurrences): the locality
+    order ops.runchains compacts in.  It rides the sorts as one extra
+    operand; see count_canonical.
+
+    Returns (unique, counts, minpos, n_unique, stats) — device arrays
+    sorted and compacted to the front (host arrays of exact size on the
+    spill path).
     """
     L = ln.num_lanes(cfg.k)
-    chunk_buf = None   # (L, chunk_cap + block_F) device buffer
+    chunk_buf = None   # (L+1, chunk_cap + block_F) device buffer (+pos row)
     chunk_cap = None   # power-of-two counting capacity
     block_F = None     # folded slots per block (fixed block geometry)
     chunk_fill = 0
-    partials = []                     # (unique, counts, n) per flushed chunk
-    pending = None                    # last chunk's (unique, counts, n_dev)
-    host_runs = []                    # spilled (lanes_np, counts_np), sorted
+    slot_base = 0                     # global stream slot counter (pos keys)
+    partials = []                 # (unique, counts, minpos, n) per chunk
+    pending = None                # last chunk's (unique, counts, minpos, n)
+    host_runs = []                # spilled (lanes_np, counts_np, pos_np)
     resident_slots = 0                # sum of pow2 caps held in `partials`
     n_reads = 0
     n_bases = 0
     n_occ = 0
 
-    def trim(unique, counts, n_u):
+    def trim(unique, counts, minpos, n_u):
         """Slice a distinct run to a POWER-OF-2 capacity (bounded compile
         shapes — a :n_u slice would compile per distinct count) and refill
         the tail with the sentinel so downstream validity tests hold."""
         cap = _round_capacity(max(1, n_u))
-        u = _refold_tail(unique[:, :cap], jnp.asarray(n_u, jnp.int32))
-        return u, counts[:cap], n_u
+        n_d = jnp.asarray(n_u, jnp.int32)
+        u = _refold_tail(unique[:, :cap], n_d)
+        p = _refold_tail1(minpos[:cap], n_d)
+        return u, counts[:cap], p, n_u
 
     def spill_over_budget():
         """Move the oldest settled runs to host RAM while device residency
@@ -302,17 +354,18 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         budget = max(cfg.resident_kmers,
                      2 * (chunk_cap or 0))  # never thrash below 2 chunks
         while resident_slots > budget and partials:
-            u, c, n = partials.pop(0)
+            u, c, p, n = partials.pop(0)
             resident_slots -= u.shape[1]
             # fetch the whole pow2-cap array (bounded shape classes), slice
             # on host; exact-size host runs stay lex-sorted
-            host_runs.append((np.asarray(u)[:, :n], np.asarray(c)[:n]))
+            host_runs.append((np.asarray(u)[:, :n], np.asarray(c)[:n],
+                              np.asarray(p)[:n]))
 
     def fresh_buf():
         # chunk_cap is a power of two (the sort's shape class); the extra
         # F columns are slack so block inserts never straddle — a flush
         # counts exactly [:chunk_cap] and carries the tail over
-        return jnp.full((L, chunk_cap + block_F), count_op.SENTINEL,
+        return jnp.full((L + 1, chunk_cap + block_F), count_op.SENTINEL,
                         jnp.uint32)
 
     def settle_pending():
@@ -323,8 +376,8 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         stalling the pipeline after every chunk."""
         nonlocal pending, resident_slots
         if pending is not None:
-            unique, counts, n_dev = pending
-            run = trim(unique, counts, int(n_dev))
+            unique, counts, minpos, n_dev = pending
+            run = trim(unique, counts, minpos, int(n_dev))
             partials.append(run)
             resident_slots += run[0].shape[1]
             pending = None
@@ -338,10 +391,11 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         # power-of-two capacity covering the fill — bounded shape classes
         body_cap = min(chunk_cap, _round_capacity(chunk_fill))
         body = chunk_buf[:, :body_cap]
-        valid = ~jnp.all(body == count_op.SENTINEL, axis=0)
-        unique, counts, n_unique = count_op.count_canonical(body, valid)
+        valid = ~jnp.all(body[:L] == count_op.SENTINEL, axis=0)
+        unique, counts, n_unique, minpos = count_op.count_canonical(
+            body[:L], valid, pos=body[L], with_pos=True)
         settle_pending()
-        pending = (unique, counts, n_unique)
+        pending = (unique, counts, minpos, n_unique)
         leftover = max(0, chunk_fill - chunk_cap)
         tail = chunk_buf[:, chunk_cap:]
         chunk_buf = fresh_buf()
@@ -354,9 +408,11 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
 
     for block in blocks:
         folded, _ = _extract_fold(
-            jnp.asarray(block.words), jnp.asarray(block.lengths), cfg.k
+            jnp.asarray(block.words), jnp.asarray(block.lengths), cfg.k,
+            np.uint32(slot_base & 0x7FFFFFFF),
         )
         F = folded.shape[1]
+        slot_base += F
         if chunk_buf is None or F != block_F:
             if chunk_buf is not None:  # geometry change: drain old buffer
                 flush()
@@ -380,28 +436,32 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
     if pending is not None and not partials and not host_runs:
         # single-chunk dataset: the run needs no trim (callers re-slice to
         # the final capacity) and no n_unique sync here (callers fetch it)
-        unique, counts, n_dev = pending
-        return unique, counts, n_dev, stats
+        unique, counts, minpos, n_dev = pending
+        return unique, counts, minpos, n_dev, stats
     settle_pending()
     if host_runs:
         # out-of-core path: drain remaining device runs to host and merge
         # in bounded key ranges
-        for u, c, n in partials:
-            host_runs.append((np.asarray(u)[:, :n], np.asarray(c)[:n]))
+        for u, c, p, n in partials:
+            host_runs.append((np.asarray(u)[:, :n], np.asarray(c)[:n],
+                              np.asarray(p)[:n]))
         stats["ooc_spilled_runs"] = len(host_runs)
-        lanes_np, counts_np, n_ranges = merge_host_runs(
+        lanes_np, counts_np, pos_np, n_ranges = merge_host_runs(
             host_runs, cfg.chunk_kmers)
         stats["ooc_merge_ranges"] = n_ranges
         if lanes_np is None:
             lanes_np = np.zeros((L, 0), np.uint32)
             counts_np = np.zeros((0,), np.int32)
-        return lanes_np, counts_np, int(counts_np.shape[0]), stats
+            pos_np = np.zeros((0,), np.uint32)
+        return lanes_np, counts_np, pos_np, int(counts_np.shape[0]), stats
     if not partials:
         empty = jnp.zeros((L, 16), dtype=jnp.uint32)
-        return empty, jnp.zeros((16,), jnp.int32), jnp.asarray(0, jnp.int32), stats
+        return (empty, jnp.zeros((16,), jnp.int32),
+                jnp.full((16,), count_op.SENTINEL, jnp.uint32),
+                jnp.asarray(0, jnp.int32), stats)
     if len(partials) == 1:
-        unique, counts, n_u = partials[0]
-        return unique, counts, jnp.asarray(n_u, jnp.int32), stats
+        unique, counts, minpos, n_u = partials[0]
+        return unique, counts, minpos, jnp.asarray(n_u, jnp.int32), stats
 
     # merge the distinct runs with one weighted count (hierarchically if
     # the concatenation would exceed the chunk budget)
@@ -412,13 +472,14 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         for p in partials:
             # always take at least two (guarantees progress), then respect
             # the chunk budget
-            if len(group) >= 2 and acc + p[2] > cfg.chunk_kmers:
+            if len(group) >= 2 and acc + p[3] > cfg.chunk_kmers:
                 rest.append(p)
             else:
                 group.append(p)
-                acc += p[2]
+                acc += p[3]
         lanes = jnp.concatenate([p[0] for p in group], axis=1)
         weights = jnp.concatenate([p[1] for p in group])
+        mpos = jnp.concatenate([p[2] for p in group])
         cap = _round_capacity(lanes.shape[1])
         pad = cap - lanes.shape[1]
         if pad:
@@ -427,18 +488,21 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
                 axis=1,
             )
             weights = jnp.concatenate([weights, jnp.zeros((pad,), jnp.int32)])
+            mpos = jnp.concatenate(
+                [mpos, jnp.full((pad,), count_op.SENTINEL, jnp.uint32)])
         valid = ~jnp.all(lanes == count_op.SENTINEL, axis=0)
-        unique, counts, n_unique = count_op.count_canonical(
-            lanes, valid, weights=weights, weighted=True
+        unique, counts, n_unique, minpos = count_op.count_canonical(
+            lanes, valid, weights=weights, weighted=True,
+            pos=mpos, with_pos=True,
         )
         if not rest:
             # final merge round: skip the trim + n_unique sync (callers
             # re-slice to the final capacity and fetch n themselves)
-            return unique, counts, n_unique, stats
-        merged = trim(unique, counts, int(n_unique))
+            return unique, counts, minpos, n_unique, stats
+        merged = trim(unique, counts, minpos, int(n_unique))
         partials = rest + [merged]
-    unique, counts, n_u = partials[0]
-    return unique, counts, jnp.asarray(n_u, jnp.int32), stats
+    unique, counts, minpos, n_u = partials[0]
+    return unique, counts, minpos, jnp.asarray(n_u, jnp.int32), stats
 
 
 @_partial(jax.jit, static_argnames=("k", "variant"))
@@ -468,6 +532,31 @@ def compact_solid(solid: jnp.ndarray, counts: jnp.ndarray, n_solid: int, k: int)
             solid, counts, jnp.asarray(n_solid, jnp.int32), k,
             variant="plain")
     return succ, out_deg, info
+
+
+def compact_solid_pos(solid: jnp.ndarray, counts: jnp.ndarray,
+                      minpos: jnp.ndarray, n_solid: int, k: int):
+    """Locality-ordered junction + chain stages (ops.runchains): reorder
+    the solid set by first-occurrence key, contract consecutive runs with
+    scans, and pointer-jump only the contracted run graph.
+
+    Returns (solid_r, counts_r, succ, info): the REORDERED table the info
+    arrays refer to, which callers must also use for assembly.  One host
+    sync fetches the exact run count so the contracted capacity never
+    overflows."""
+    from bcalm_tpu.ops import runchains
+
+    n_dev = jnp.asarray(n_solid, jnp.int32)
+    solid_r, counts_r = runchains.reorder_by_pos(solid, counts, minpos, k)
+    succ, scan = runchains.junction_runs(solid_r, n_dev, k)
+    R = int(scan["R"])
+    R_cap = _round_capacity(max(1, R))
+    args = (succ, n_dev, scan["is_head"], scan["rid"], scan["head_pos"],
+            scan["end_pos"], scan["R"])
+    info = runchains.run_decompose(*args, R_cap=R_cap)
+    if int(info["n_unitigs"]) < 0:
+        info = runchains.run_decompose(*args, R_cap=R_cap, variant="plain")
+    return solid_r, counts_r, succ, info
 
 
 def _decode_kmers_np(lanes_np: np.ndarray, k: int) -> np.ndarray:
@@ -639,7 +728,8 @@ def link_join(seqs: List[str], k: int) -> List[Tuple[int, str, int, str]]:
 def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
                         cfg: EngineConfig, only_uf: bool = False,
                         uf_stats: bool = False,
-                        chain_info: Optional[Dict] = None) -> UnitigSet:
+                        chain_info: Optional[Dict] = None,
+                        minpos_np: Optional[np.ndarray] = None) -> UnitigSet:
     """Compaction + assembly + links from a host-side solid (kmer, count)
     table (resume entry point: the analog of re-entering
     GraphUnitigs::create with counting already in storage).
@@ -652,6 +742,11 @@ def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
     chain_info: a previously checkpointed chain decomposition (the
     `-skip-bglue` resume path — the glue-file analog).  Must have been
     computed for exactly this solid set (validated by array size).
+
+    minpos_np: first-occurrence keys; when present, compaction uses the
+    locality-ordered fast path (ops.runchains) and the table is
+    deterministically REORDERED first, so a chain checkpoint saved with
+    keys stays consistent on resume.
     """
     n_solid = int(solid_np.shape[1])
     if n_solid == 0:
@@ -668,13 +763,27 @@ def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
     counts = jnp.asarray(np.concatenate(
         [counts_np.astype(np.int32), np.zeros((cap - n_solid,), np.int32)]
     ))
+    minpos = None
+    if minpos_np is not None:
+        minpos = jnp.asarray(np.concatenate(
+            [minpos_np.astype(np.uint32),
+             np.full((cap - n_solid,), count_op.SENTINEL, np.uint32)]))
     if chain_info is not None:
         if np.asarray(chain_info["uid"]).shape[0] != 2 * cap:
             raise ValueError(
                 "chain checkpoint is stale (solid set size changed); "
                 "rerun without -skip-bglue"
             )
+        if minpos is not None:
+            # the checkpoint was computed against the reordered table;
+            # re-derive the (deterministic) order, skip the decompose
+            from bcalm_tpu.ops import runchains
+            solid, counts = runchains.reorder_by_pos(
+                solid, counts, minpos, cfg.k)
         info = chain_info
+    elif minpos is not None:
+        solid, counts, succ, info = compact_solid_pos(
+            solid, counts, minpos, n_solid, cfg.k)
     else:
         succ, out_deg, info = compact_solid(solid, counts, n_solid, cfg.k)
     stats = {"solid_kmers": n_solid}
@@ -702,7 +811,7 @@ def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig) ->
     On the out-of-core path (distinct set spilled to host) the histogram +
     solidity filter run in numpy and compaction restarts from the (much
     smaller) solid set."""
-    unique, counts, n_unique, stats = count_blocks(blocks, cfg)
+    unique, counts, minpos, n_unique, stats = count_blocks(blocks, cfg)
     if isinstance(unique, np.ndarray):
         counts_np = np.asarray(counts)
         binned = np.minimum(counts_np, cfg.histo_max)
@@ -711,7 +820,9 @@ def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig) ->
         keep = ((counts_np >= cfg.abundance_min)
                 & (counts_np <= cfg.abundance_max))
         stats["distinct_kmers"] = int(counts_np.shape[0])
-        us = compact_from_counts(unique[:, keep], counts_np[keep], cfg)
+        us = compact_from_counts(
+            unique[:, keep], counts_np[keep], cfg,
+            minpos_np=None if minpos is None else minpos[keep])
         us.histogram = histo
         us.stats.update(stats)
         us.stats["unitigs"] = len(us.seqs)
@@ -720,13 +831,15 @@ def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig) ->
     cap = _round_capacity(max(1, n_u))
     unique = unique[:, :cap]
     counts = counts[:cap]
+    minpos = minpos[:cap]
     histo = np.asarray(
         count_op.abundance_histogram(counts, jnp.asarray(n_u),
                                      histo_max=cfg.histo_max)
     )
-    solid, solid_counts, n_solid_dev = count_op.filter_abundance(
-        unique, counts, jnp.asarray(n_u), cfg.abundance_min, cfg.abundance_max
-    )
+    solid, solid_counts, solid_pos, n_solid_dev = (
+        count_op.filter_abundance_pos(
+            unique, counts, minpos, jnp.asarray(n_u),
+            cfg.abundance_min, cfg.abundance_max))
     n_solid = int(n_solid_dev)
     stats["distinct_kmers"] = n_u
     stats["solid_kmers"] = n_solid
@@ -736,10 +849,11 @@ def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig) ->
             circular=np.zeros(0, bool), links=[], histogram=histo, stats=stats,
         )
     cap2 = _round_capacity(n_solid)
-    solid_c = solid[:, :cap2]
-    counts_c = solid_counts[:cap2]
-    succ, out_deg, info = compact_solid(solid_c, counts_c, n_solid, cfg.k)
-    seqs, kc, abund, circular = assemble_unitigs(solid_c, counts_c, info, cfg.k)
+    solid_r, counts_r, succ, info = compact_solid_pos(
+        solid[:, :cap2], solid_counts[:cap2], solid_pos[:cap2],
+        n_solid, cfg.k)
+    seqs, kc, abund, circular = assemble_unitigs(solid_r, counts_r, info,
+                                                 cfg.k)
     links = link_join(seqs, cfg.k)
     stats["unitigs"] = len(seqs)
     us = UnitigSet(
@@ -752,25 +866,28 @@ def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig) ->
 def count_and_filter(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig):
     """Counting phase -> host arrays (for storage/checkpoint + compaction).
 
-    Returns (solid_np (L,n) uint32, counts_np (n,) int32, histogram, stats).
-    The distinct run is trimmed on device, then fetched ONCE; the solidity
-    filter and abundance histogram run in numpy — the distinct set is
-    leaving the device here anyway (storage/checkpoint), and host masking
-    is far cheaper than device scatter-compaction + a second transfer.
+    Returns (solid_np (L,n) uint32, counts_np (n,) int32, minpos_np (n,)
+    uint32, histogram, stats).  The distinct run is trimmed on device,
+    then fetched ONCE; the solidity filter and abundance histogram run in
+    numpy — the distinct set is leaving the device here anyway
+    (storage/checkpoint), and host masking is far cheaper than device
+    scatter-compaction + a second transfer.
     """
-    unique, counts, n_unique, stats = count_blocks(blocks, cfg)
+    unique, counts, minpos, n_unique, stats = count_blocks(blocks, cfg)
     n_u = int(n_unique)
     cap = _round_capacity(max(1, n_u))
     unique_np = np.asarray(unique[:, :cap])[:, :n_u]
     counts_np = np.asarray(counts[:cap])[:n_u]
+    minpos_np = np.asarray(minpos[:cap])[:n_u]
     binned = np.minimum(counts_np, cfg.histo_max)
     histo = np.bincount(binned, minlength=cfg.histo_max + 1).astype(np.int32)
     keep = (counts_np >= cfg.abundance_min) & (counts_np <= cfg.abundance_max)
     solid_np = unique_np[:, keep]
     solid_counts_np = counts_np[keep]
+    solid_pos_np = minpos_np[keep]
     stats["distinct_kmers"] = n_u
     stats["solid_kmers"] = int(solid_np.shape[1])
-    return solid_np, solid_counts_np, histo, stats
+    return solid_np, solid_counts_np, solid_pos_np, histo, stats
 
 
 def combine_sample_counts(runs, kind: str = "sum", k: Optional[int] = None):

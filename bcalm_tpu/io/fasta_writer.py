@@ -14,12 +14,29 @@ IDs are dense integers from 0 (consumed as such by
 
 from __future__ import annotations
 
-from typing import IO, List
+from bisect import bisect_left, bisect_right
+from typing import IO, List, Optional
 
 from bcalm_tpu.engine import UnitigSet
 
 
-def format_header(us: UnitigSet, i: int, all_abundance_counts: bool = False) -> str:
+def _link_index(us: UnitigSet):
+    """Links grouped by source id.  links are emitted sorted by (src, ...)
+    (engine.link_join), so the per-unitig slice is a binary search — the
+    writer is O(U + E) total instead of the O(U * E) rescans that walled
+    at the million-unitig scale (round-2 VERDICT item 5)."""
+    srcs = [l[0] for l in us.links]
+    if any(srcs[i] > srcs[i + 1] for i in range(len(srcs) - 1)):
+        order = sorted(range(len(srcs)), key=lambda t: srcs[t])
+        us_links = [us.links[t] for t in order]
+        srcs = [l[0] for l in us_links]
+    else:
+        us_links = us.links
+    return srcs, us_links
+
+
+def format_header(us: UnitigSet, i: int, all_abundance_counts: bool = False,
+                  link_index=None) -> str:
     fields = [f"LN:i:{len(us.seqs[i])}"]
     if all_abundance_counts:
         ab = " ".join(str(int(a)) for a in us.abundances[i])
@@ -28,16 +45,19 @@ def format_header(us: UnitigSet, i: int, all_abundance_counts: bool = False) -> 
         n_kmers = max(1, len(us.abundances[i]))
         fields.append(f"KC:i:{int(us.kc[i])}")
         fields.append(f"km:f:{us.kc[i] / n_kmers:.1f}")
-    for (u, su, v, sv) in us.links:
-        if u == i:
-            fields.append(f"L:{su}:{v}:{sv}")
+    srcs, links = link_index if link_index is not None else _link_index(us)
+    for t in range(bisect_left(srcs, i), bisect_right(srcs, i)):
+        _, su, v, sv = links[t]
+        fields.append(f"L:{su}:{v}:{sv}")
     return f">{i} " + " ".join(fields)
 
 
 def write_fasta(us: UnitigSet, out: IO[str], all_abundance_counts: bool = False,
                 line_width: int = 0) -> None:
+    li = _link_index(us)
     for i, seq in enumerate(us.seqs):
-        out.write(format_header(us, i, all_abundance_counts) + "\n")
+        out.write(format_header(us, i, all_abundance_counts, link_index=li)
+                  + "\n")
         if line_width and line_width > 0:
             for j in range(0, len(seq), line_width):
                 out.write(seq[j : j + line_width] + "\n")

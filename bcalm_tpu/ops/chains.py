@@ -356,14 +356,20 @@ def _absorbing_filler(S: int, big: int):
     )
 
 
-def _init_Q(pred: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+def _init_Q(pred: jnp.ndarray, valid: jnp.ndarray,
+            dist0: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Initial packed-flag state.  dist0 (optional) is the WEIGHT of the
+    edge v -> pred(v) (= weight of pred(v)); defaults to 1.  Weighted
+    jumping makes ranks/lengths come out in original-node units when the
+    graph being jumped is a contraction (ops.runchains)."""
     M = pred.shape[0]
     idx = jnp.arange(M, dtype=jnp.int32)
     has_pred = (pred >= 0) & valid
+    d0 = np.int32(1) if dist0 is None else dist0
     return jnp.stack(
         [
             jnp.where(has_pred, pred, idx),
-            jnp.where(has_pred, np.int32(1),
+            jnp.where(has_pred, d0,
                       np.int32(_F_ROOTED | _F_SETTLED)),
             jnp.where(valid, idx, M),
             jnp.zeros((M,), jnp.int32),
@@ -372,14 +378,15 @@ def _init_Q(pred: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def hier_jump(pred: jnp.ndarray, valid: jnp.ndarray):
+def hier_jump(pred: jnp.ndarray, valid: jnp.ndarray,
+              dist0: jnp.ndarray | None = None):
     """Hierarchical pointer jumping.  Returns (state, ok) where state is
     the fully-converged packed-flag state in the original node space and
     `ok` is False if a level overflowed its static capacity
     (astronomically unlikely; the caller falls back to the plain loop)."""
     M = pred.shape[0]
     idx = jnp.arange(M, dtype=jnp.int32)
-    Q = _init_Q(pred, valid)
+    Q = _init_Q(pred, valid, dist0)
     gid = idx
     lvl_valid = valid
     ok = jnp.asarray(True)
@@ -457,18 +464,23 @@ def hier_jump(pred: jnp.ndarray, valid: jnp.ndarray):
     return F, ok
 
 
-def plain_jumpF(pred: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+def plain_jumpF(pred: jnp.ndarray, valid: jnp.ndarray,
+                dist0: jnp.ndarray | None = None) -> jnp.ndarray:
     """Plain doubling in the packed-flag representation."""
     M = pred.shape[0]
     idx = jnp.arange(M, dtype=jnp.int32)
-    return _phase(_init_Q(pred, valid), jnp.zeros((M,), bool), idx,
+    return _phase(_init_Q(pred, valid, dist0), jnp.zeros((M,), bool), idx,
                   _max_rounds(M) + 1)
 
 
 def finish_fast(succ: jnp.ndarray, pred: jnp.ndarray, valid: jnp.ndarray,
-                state: jnp.ndarray):
+                state: jnp.ndarray, wlen: jnp.ndarray | None = None):
     """finish() on a packed-flag state: 1 gather + 2 row scatters total
-    (vs 4 gathers + 3 scatters + segment_max of the original)."""
+    (vs 4 gathers + 3 scatters + segment_max of the original).
+
+    wlen (optional): per-node weights; with the matching weighted jump
+    (dist0 = wlen[pred]) ranks and chain lengths come out in weight units
+    (chain length = rank(end) + wlen(end) instead of rank + 1)."""
     M = succ.shape[0]
     N = M // 2
     idx = jnp.arange(M, dtype=jnp.int32)
@@ -492,10 +504,11 @@ def finish_fast(succ: jnp.ndarray, pred: jnp.ndarray, valid: jnp.ndarray,
     # end id + chain length land at the start node.  Measured on v5e:
     # multi-column scatters serialize ~10x slower than per-column scatters
     # (85ms vs 2x9ms at M=2^21), so scatter each column separately.
+    w_end = np.int32(1) if wlen is None else wlen
     e_dst = jnp.where(is_end, start, M)
     end_of = jnp.full((M,), -1, jnp.int32).at[e_dst].set(idx, mode="drop")
     length_at_start = jnp.full((M,), -1, jnp.int32).at[e_dst].set(
-        rank + 1, mode="drop")
+        rank + w_end, mode="drop")
 
     # mirror of mn is a half-rotation, not a gather
     mmn = jnp.roll(mn, N)

@@ -74,9 +74,9 @@ def compact(mask: jnp.ndarray, arrays, fill=0):
     return tuple(outs), jnp.sum(mask.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("weighted",))
+@partial(jax.jit, static_argnames=("weighted", "with_pos"))
 def count_canonical(lanes: jnp.ndarray, valid: jnp.ndarray, weights=None,
-                    weighted=False):
+                    weighted=False, pos=None, with_pos=False):
     """Count occurrences of canonical k-mers.
 
     Args:
@@ -85,11 +85,20 @@ def count_canonical(lanes: jnp.ndarray, valid: jnp.ndarray, weights=None,
       valid: (N,) bool
       weights: optional (N,) int32 per-occurrence weights (used when merging
         partial (kmer, count) runs: weighted=True)
+      pos: optional (N,) uint32 per-occurrence first-occurrence keys
+        ((stream index << 1) | rc-strand); with_pos=True returns the MIN
+        key per distinct k-mer.  Implemented by appending pos as the
+        lowest-priority sort key: stable + ascending means every group
+        head carries the group minimum for free.  Positions feed
+        ops.runchains' locality-ordered compaction; they affect only
+        performance there, never correctness, so u32 stream-index
+        wraparound on >4G-occurrence datasets is benign.
 
     Returns:
       unique: (L, N) unique k-mers compacted to the front, sorted ascending
       counts: (N,) int32 occurrence counts aligned with `unique`
       n_unique: () int32
+      [minpos: (N,) uint32 aligned with `unique` — only if with_pos]
 
     Implementation note (TPU scatters are index-rate-bound, ~50M idx/s —
     3 compaction scatters at occurrence scale cost 3x the sort): the
@@ -104,15 +113,19 @@ def count_canonical(lanes: jnp.ndarray, valid: jnp.ndarray, weights=None,
     L, N = lanes.shape
     folded = fold_sentinel(lanes, valid)
     ops = [folded[j] for j in range(L)]
+    nk = L
+    if with_pos:
+        ops.append(pos)
+        nk = L + 1
     if weighted:
         ops.append(weights.astype(jnp.uint32))
-    out = sort_tpu.sort_ops(ops, num_keys=L)
+    out = sort_tpu.sort_ops(ops, num_keys=nk)
     s_lanes = jnp.stack(out[:L], axis=0)
     s_valid = ~jnp.all(s_lanes == SENTINEL, axis=0)
     starts = row_starts(s_lanes, s_valid)
     gid = jnp.cumsum(starts.astype(jnp.int32)) - 1
 
-    w = out[L].astype(jnp.int32) if weighted else s_valid.astype(jnp.int32)
+    w = out[nk].astype(jnp.int32) if weighted else s_valid.astype(jnp.int32)
     w = jnp.where(s_valid, w, 0)
     cumw = jnp.cumsum(w)
     excl = (cumw - w).astype(jnp.uint32)  # weight strictly before position
@@ -120,9 +133,10 @@ def count_canonical(lanes: jnp.ndarray, valid: jnp.ndarray, weights=None,
     # compaction sort: heads keyed by gid (ascending = key order), all
     # non-heads and sentinel slots pushed to the tail
     key2 = jnp.where(starts, gid.astype(jnp.uint32), SENTINEL)
-    out2 = sort_tpu.sort_ops(
-        [key2] + [s_lanes[j] for j in range(L)] + [excl], num_keys=1
-    )
+    ops2 = [key2] + [s_lanes[j] for j in range(L)] + [excl]
+    if with_pos:
+        ops2.append(out[L])  # group-head pos = group min (pos is a key)
+    out2 = sort_tpu.sort_ops(ops2, num_keys=1)
     n_unique = jnp.sum(starts.astype(jnp.int32))
     idx = jnp.arange(N, dtype=jnp.int32)
     valid_g = idx < n_unique
@@ -134,6 +148,9 @@ def count_canonical(lanes: jnp.ndarray, valid: jnp.ndarray, weights=None,
     total = cumw[N - 1]
     cnt = jnp.where(idx == n_unique - 1, total - ex, nxt - ex)
     counts = jnp.where(valid_g, cnt, 0)
+    if with_pos:
+        minpos = jnp.where(valid_g, out2[L + 2], SENTINEL)
+        return unique, counts, n_unique, minpos
     return unique, counts, n_unique
 
 
@@ -150,6 +167,24 @@ def filter_abundance(unique, counts, n_unique, abundance_min, abundance_max):
     )
     (solid, solid_counts), n_solid = compact(keep, (unique, counts))
     return solid, solid_counts, n_solid
+
+
+@jax.jit
+def filter_abundance_pos(unique, counts, minpos, n_unique, abundance_min,
+                         abundance_max):
+    """filter_abundance carrying the first-occurrence keys through."""
+    N = unique.shape[1]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    keep = (
+        (idx < n_unique)
+        & (counts >= abundance_min)
+        & (counts <= abundance_max)
+    )
+    (solid, solid_counts, solid_pos), n_solid = compact(
+        keep, (unique, counts, minpos))
+    # dropped slots must sort LAST in the position reorder, not first
+    solid_pos = jnp.where(idx < n_solid, solid_pos, SENTINEL)
+    return solid, solid_counts, solid_pos, n_solid
 
 
 @partial(jax.jit, static_argnames=("histo_max",))

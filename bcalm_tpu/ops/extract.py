@@ -90,17 +90,22 @@ def kmer_lanes_from_packs(fwd_pack: jnp.ndarray, rc_pack: jnp.ndarray, k: int):
     return jnp.stack(fwd, axis=0), jnp.stack(rc, axis=0)
 
 
-def extract_canonical(words: jnp.ndarray, lengths: jnp.ndarray, k: int):
+def extract_canonical(words: jnp.ndarray, lengths: jnp.ndarray, k: int,
+                      with_strand: bool = False):
     """Canonical k-mers at every read position.
 
     Args:
       words:   (B, W) uint32 packed reads (io.packing layout)
       lengths: (B,) int32 read lengths
       k:       static k-mer size
+      with_strand: also return which orientation was canonical
 
     Returns:
       canon: lane-major (L, B, P) uint32 canonical k-mer lanes (P = W*16)
       valid: (B, P) bool — position p holds a real k-mer (p + k <= length)
+      [use_rc: (B, P) bool — canonical = reverse complement of the as-read
+       orientation (the strand bit first-occurrence ordering records so
+       compaction can restore as-read orientation; ops.runchains)]
     """
     bases = decode_words(words)
     P = bases.shape[1]
@@ -110,4 +115,6 @@ def extract_canonical(words: jnp.ndarray, lengths: jnp.ndarray, k: int):
     canon = jnp.where(use_rc[None], rc, fwd)
     pos = jnp.arange(P, dtype=jnp.int32)[None, :]
     valid = pos <= (lengths[:, None] - k)
+    if with_strand:
+        return canon, valid, use_rc
     return canon, valid

@@ -231,8 +231,34 @@ def unitig_key(seq: str) -> str:
     return min(seq, revcomp_str(seq))
 
 
+def circular_key(seq: str, k: int) -> str:
+    """Rotation- AND orientation-invariant identity of a CIRCULAR unitig
+    (seq carries the k-1 wrap suffix).  A circular unitig's break point is
+    algorithm-dependent (the reference gives no stability promise there
+    either, cf. its orientation caveat /root/reference/README.md:87), so
+    cross-algorithm comparisons must normalize rotation."""
+    core = seq[: len(seq) - (k - 1)]
+    best = None
+    for s in (core, revcomp_str(core)):
+        for r in range(len(s)):
+            cand = s[r:] + s[:r]
+            if best is None or cand < best:
+                best = cand
+    return best + best[: k - 1]
+
+
+def content_key(seq: str, k: int, is_circular: bool) -> str:
+    """unitig_key for path unitigs, circular_key for circular ones."""
+    return circular_key(seq, k) if is_circular else unitig_key(seq)
+
+
 def canonical_unitig_set(unitigs: Iterable[str]) -> List[str]:
     return sorted(unitig_key(s) for s in unitigs)
+
+
+def content_unitig_set(seqs, circular, k: int) -> List[str]:
+    """canonical_unitig_set with circular unitigs normalized for rotation."""
+    return sorted(content_key(s, k, bool(c)) for s, c in zip(seqs, circular))
 
 
 def unitig_kmer_decomposition(unitigs: Iterable[str], k: int) -> List[int]:
@@ -252,9 +278,10 @@ def canonical_link_set(graph: CompactedGraph) -> List[Tuple]:
     keys = []
     flips = []
     for u in graph.unitigs:
-        key = unitig_key(u.seq)
-        keys.append(key)
-        flips.append(key != u.seq)
+        # circular unitigs: rotation-invariant identity (their break point
+        # is algorithm-dependent); sign normalization is orientation-only
+        keys.append(content_key(u.seq, graph.k, u.is_circular))
+        flips.append(unitig_key(u.seq) != u.seq)
 
     def norm(i, s):
         flip = flips[i]

@@ -404,7 +404,7 @@ def distributed_build(seqs, cfg, mesh: Mesh,
     per_s, per_c = [], []
     L = u_np.shape[0]
     for d in range(n_dev):
-        lanes_np, counts_np, _ = eng.merge_host_runs(
+        lanes_np, counts_np, _, _ = eng.merge_host_runs(
             host_runs[d], cfg.chunk_kmers)
         if lanes_np is None:
             lanes_np = np.zeros((L, 0), np.uint32)

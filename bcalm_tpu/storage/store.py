@@ -38,11 +38,16 @@ class Store:
 
     def write_counts(self, solid: np.ndarray, counts: np.ndarray, k: int,
                      histogram: Optional[np.ndarray] = None,
-                     config: Optional[Dict] = None) -> None:
+                     config: Optional[Dict] = None,
+                     minpos: Optional[np.ndarray] = None) -> None:
         os.makedirs(self.path, exist_ok=True)
-        np.savez_compressed(
-            os.path.join(self.path, "solid.npz"), lanes=solid, counts=counts
-        )
+        arrays = {"lanes": solid, "counts": counts}
+        if minpos is not None:
+            # first-occurrence keys: persisted so a -skip-bcalm resume
+            # keeps the locality-ordered compaction fast path (and the
+            # deterministic reorder that chain checkpoints rely on)
+            arrays["minpos"] = minpos
+        np.savez_compressed(os.path.join(self.path, "solid.npz"), **arrays)
         if histogram is not None:
             np.save(os.path.join(self.path, "histogram.npy"), histogram)
         manifest = {
@@ -54,14 +59,17 @@ class Store:
         with open(os.path.join(self.path, MANIFEST), "w") as f:
             json.dump(manifest, f, indent=2)
 
-    def read_counts(self, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def read_counts(
+        self, k: int
+    ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
         m = self._manifest()
         if m["k"] != k:
             raise ValueError(
                 f"stored counts are for k={m['k']}, requested k={k}"
             )
         data = np.load(os.path.join(self.path, "solid.npz"))
-        return data["lanes"], data["counts"]
+        minpos = data["minpos"] if "minpos" in data.files else None
+        return data["lanes"], data["counts"], minpos
 
     def config(self) -> Dict:
         """Stored counting parameters (abundance_min/max, solidity kind) —

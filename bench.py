@@ -108,17 +108,19 @@ def main():
 
     def count_device(blocks_iter):
         """Full chunked counting + solidity, device-resident: returns
-        (solid, counts device arrays at trimmed cap, n_solid) — the
-        production build path (engine.build_from_blocks); forcing n_solid
-        materializes every queued device op."""
-        unique, counts, n_unique, stats = engine.count_blocks(blocks_iter, cfg)
+        (solid, counts, minpos device arrays at trimmed cap, n_solid) —
+        the production build path (engine.build_from_blocks); forcing
+        n_solid materializes every queued device op."""
+        unique, counts, minpos, n_unique, stats = engine.count_blocks(
+            blocks_iter, cfg)
         n_u = int(n_unique)
         cap = engine._round_capacity(max(1, n_u))
-        solid, scounts, n_solid = count_op.filter_abundance(
-            unique[:, :cap], counts[:cap], jnp.asarray(n_u, jnp.int32),
+        solid, scounts, spos, n_solid = count_op.filter_abundance_pos(
+            unique[:, :cap], counts[:cap], minpos[:cap],
+            jnp.asarray(n_u, jnp.int32),
             cfg.abundance_min, cfg.abundance_max,
         )
-        return solid, scounts, int(n_solid), n_u, stats
+        return solid, scounts, spos, int(n_solid), n_u, stats
 
     # warmup/compile with a one-block prefix (same shapes as the real run)
     t0 = time.time()
@@ -135,23 +137,26 @@ def main():
         result = count_device(iter(blocks))
         times.append(time.time() - t0)
     t_count = min(times)
-    solid_d_full, counts_d_full, n_solid, n_distinct, stats = result
+    solid_d_full, counts_d_full, pos_d_full, n_solid, n_distinct, stats = result
     log(f"count: {t_count*1e3:.1f}ms for {n_occ} occurrences "
         f"({n_distinct} distinct, {n_solid} solid)")
     kmers_per_sec = n_occ / t_count
 
-    # compaction timing (junctions + chains), device portion
+    # compaction timing (reorder + junctions + run contraction + chains)
     cap = engine._round_capacity(max(1, n_solid))
     solid_d = solid_d_full[:, :cap]
     counts_d = counts_d_full[:cap]
+    pos_d = pos_d_full[:cap]
     t0 = time.time()
-    succ, _, info = engine.compact_solid(solid_d, counts_d, n_solid, k)
+    _, _, _, info = engine.compact_solid_pos(
+        solid_d, counts_d, pos_d, n_solid, k)
     nu = int(info["n_unitigs"])
     log(f"compact warmup {time.time()-t0:.1f}s -> {nu} unitigs")
     times = []
     for _ in range(3):
         t0 = time.time()
-        succ, _, info = engine.compact_solid(solid_d, counts_d, n_solid, k)
+        _, _, _, info = engine.compact_solid_pos(
+            solid_d, counts_d, pos_d, n_solid, k)
         nu = int(info["n_unitigs"])
         times.append(time.time() - t0)
     t_compact = min(times)

@@ -53,22 +53,22 @@ def build_solid(lg: int, k: int):
                               max_len=max_len, chunk_kmers=8 * 1024 * 1024)
     blocks = packing.iter_blocks(reads, k, block_reads=cfg.block_reads,
                                  max_len=max_len)
-    unique, counts, n_unique, stats = engine.count_blocks(blocks, cfg)
+    unique, counts, minpos, n_unique, stats = engine.count_blocks(blocks, cfg)
     n_u = int(n_unique)
     cap = engine._round_capacity(max(1, n_u))
-    solid, scounts, n_solid = count_op.filter_abundance(
-        unique[:, :cap], counts[:cap], jnp.asarray(n_u, jnp.int32), 1,
-        2**31 - 1)
+    solid, scounts, spos, n_solid = count_op.filter_abundance_pos(
+        unique[:, :cap], counts[:cap], minpos[:cap],
+        jnp.asarray(n_u, jnp.int32), 1, 2**31 - 1)
     ns = int(n_solid)
     cap2 = engine._round_capacity(ns)
-    return solid[:, :cap2], scounts[:cap2], ns
+    return solid[:, :cap2], scounts[:cap2], spos[:cap2], ns
 
 
 def main():
     lg = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     k = 31
     t0 = time.time()
-    solid, counts, n_solid = build_solid(lg, k)
+    solid, counts, spos, n_solid = build_solid(lg, k)
     cap = solid.shape[1]
     M = 2 * cap
     print(f"devices={jax.devices()}")
@@ -121,10 +121,15 @@ def main():
     t = timeit(fin_fn, succ, pred, valid, state_p)
     print(f"finish_fast: {t*1e3:6.1f}ms")
 
-    # --- full compact_solid ---
+    # --- full compact_solid (canonical-order fallback path) ---
     t = timeit(lambda: engine.compact_solid(solid, counts, n_solid, k)[2][
         "n_unitigs"].block_until_ready(), n=3)
     print(f"compact_solid: {t*1e3:4.1f}ms  ({n_solid/t/1e6:.2f}M glued/s)")
+
+    # --- positioned path (reorder + run contraction + contracted jump) ---
+    t = timeit(lambda: engine.compact_solid_pos(
+        solid, counts, spos, n_solid, k)[3]["n_unitigs"], n=3)
+    print(f"compact_solid_pos: {t*1e3:4.1f}ms  ({n_solid/t/1e6:.2f}M glued/s)")
 
 
 if __name__ == "__main__":

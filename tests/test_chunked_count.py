@@ -37,6 +37,6 @@ def test_chunk_boundary_exact():
         from bcalm_tpu.io import packing
 
         blocks = packing.iter_blocks(reads, k, block_reads=8, max_len=64)
-        solid, counts, histo, stats = engine.count_and_filter(blocks, cfg)
+        solid, counts, minpos, histo, stats = engine.count_and_filter(blocks, cfg)
         results.append((solid.tolist(), counts.tolist()))
     assert results[0] == results[1] == results[2]

@@ -43,7 +43,7 @@ def test_distributed_compact_matches(mesh, seed, k, amin):
     from bcalm_tpu.io import packing
 
     blocks = packing.iter_blocks(reads, k, block_reads=64, max_len=128)
-    solid, counts, _, _ = engine.count_and_filter(blocks, cfg)
+    solid, counts, _, _, _ = engine.count_and_filter(blocks, cfg)
     if solid.shape[1] == 0:
         pytest.skip("no solid kmers")
 
@@ -68,7 +68,7 @@ def test_circular_distributed(mesh):
     from bcalm_tpu.io import packing
 
     blocks = packing.iter_blocks(reads, k, block_reads=8, max_len=32)
-    solid, counts, _, _ = engine.count_and_filter(blocks, cfg)
+    solid, counts, _, _, _ = engine.count_and_filter(blocks, cfg)
     per_s, per_c = split_solid(solid, counts, 8)
     got = distcompact.distributed_compact(mesh, per_s, per_c, k)
     assert len(got.seqs) == 1 and bool(got.circular[0])

@@ -30,14 +30,18 @@ def compare(seqs, k, amin=1, amax=2**31 - 1):
     got = engine.build_from_seqs(seqs, cfg)
     expect = brute.build(seqs, k, abundance_min=amin, abundance_max=amax)
 
-    got_set = brute.canonical_unitig_set(got.seqs)
-    exp_set = brute.canonical_unitig_set([u.seq for u in expect.unitigs])
+    got_set = brute.content_unitig_set(got.seqs, got.circular, k)
+    exp_set = brute.content_unitig_set(
+        [u.seq for u in expect.unitigs],
+        [u.is_circular for u in expect.unitigs], k)
     assert got_set == exp_set
 
-    # KC / km / abundance vectors match per unitig (keyed by canonical seq)
+    # KC / km / abundance vectors match per unitig (keyed by canonical seq;
+    # circular unitigs keyed rotation-invariantly — their break point is
+    # algorithm-dependent)
     def kc_map(unitigs):
-        return {brute.unitig_key(u.seq): (u.kc, sorted(u.abundances))
-                for u in unitigs}
+        return {brute.content_key(u.seq, k, u.is_circular):
+                (u.kc, sorted(u.abundances)) for u in unitigs}
 
     assert kc_map(to_brute_graph(got).unitigs) == kc_map(expect.unitigs)
 
@@ -46,8 +50,10 @@ def compare(seqs, k, amin=1, amax=2**31 - 1):
             == brute.canonical_link_set(expect))
 
     # circular flags (keyed)
-    got_circ = {brute.unitig_key(s) for i, s in enumerate(got.seqs) if got.circular[i]}
-    exp_circ = {brute.unitig_key(u.seq) for u in expect.unitigs if u.is_circular}
+    got_circ = {brute.content_key(s, k, True)
+                for i, s in enumerate(got.seqs) if got.circular[i]}
+    exp_circ = {brute.content_key(u.seq, k, True)
+                for u in expect.unitigs if u.is_circular}
     assert got_circ == exp_circ
     return got
 

@@ -43,7 +43,7 @@ def test_spill_path_counts_match_oracle():
     k = 21
     cfg = _tiny_ooc_cfg(k)
     blocks = packing.iter_blocks(reads, k, block_reads=16, max_len=64)
-    unique, counts, n_u, stats = engine.count_blocks(blocks, cfg)
+    unique, counts, minpos, n_u, stats = engine.count_blocks(blocks, cfg)
     # the spill path must actually trigger, and must return host arrays
     assert stats.get("ooc_spilled_runs", 0) > 1
     assert stats.get("ooc_merge_ranges", 0) > 1
@@ -64,7 +64,7 @@ def test_spill_and_resident_results_identical():
                                   max_len=64, chunk_kmers=256,
                                   resident_kmers=resident)
         blocks = packing.iter_blocks(reads, k, block_reads=8, max_len=64)
-        solid, counts, histo, stats = engine.count_and_filter(blocks, cfg)
+        solid, counts, minpos, histo, stats = engine.count_and_filter(blocks, cfg)
         results.append((solid.tolist(), counts.tolist(), histo.tolist()))
     assert results[0] == results[1]
 
@@ -110,7 +110,7 @@ def test_merge_host_runs_duplicates_and_shared_prefixes():
         runs.append((ln.ints_to_lanes(vals, k), cnts))
         for v, c in zip(vals, cnts):
             expect[v] = expect.get(v, 0) + int(c)
-    lanes, counts, n_ranges = engine.merge_host_runs(runs, merge_cap=1)
+    lanes, counts, _mp, n_ranges = engine.merge_host_runs(runs, merge_cap=1)
     got = {int(v): int(c)
            for v, c in zip(ln.lanes_to_ints(lanes), counts)}
     assert got == expect
@@ -131,7 +131,7 @@ def test_merge_host_runs_multi_range():
         runs.append((ln.ints_to_lanes(pv, k), cnts))
         for v in pv:
             expect[v] = expect.get(v, 0) + 1
-    lanes, counts, n_ranges = engine.merge_host_runs(runs, merge_cap=1024)
+    lanes, counts, _mp, n_ranges = engine.merge_host_runs(runs, merge_cap=1024)
     assert n_ranges > 4
     got = {int(v): int(c) for v, c in zip(ln.lanes_to_ints(lanes), counts)}
     assert got == expect

@@ -274,13 +274,23 @@ def main(argv: Optional[List[str]] = None) -> int:
             repartition_type=props.get_int("-repartition-type"),
         )
         with ti.timer("build_distributed"):
-            us = par.distributed_build(bank.sequences(), cfg, mesh, mcfg)
+            us = par.distributed_build(
+                bank.sequences(), cfg, mesh, mcfg,
+                auto_amin_cap=(props.get_int("-abundance-min-threshold")
+                               if auto_amin else None),
+                store=store)
+        if auto_amin and verbose:
+            print(f"auto abundance-min = {cfg.abundance_min}")
         with ti.timer("write"):
             with open(unitigs_path, "w") as f:
                 fasta_writer.write_fasta(
                     us, f,
                     all_abundance_counts=props.get_bool("-all-abundance-counts"),
                 )
+        # counting output + repartition persisted during the build serve
+        # crash-resume (-skip-bcalm); a completed run cleans up like the
+        # reference removes its .h5 (src/bcalm_1.cpp:64-77)
+        store.remove()
         if verbose:
             print(f"wrote {len(us.seqs)} unitigs -> {unitigs_path} "
                   f"({mesh.devices.size} devices)")

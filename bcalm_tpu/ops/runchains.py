@@ -131,6 +131,30 @@ def _ffill(have: jnp.ndarray, vals, reverse: bool = False):
     return out
 
 
+@partial(jax.jit, static_argnames=("variant",))
+def contracted_jump(csucc: jnp.ndarray, cvalid: jnp.ndarray,
+                    wlen2: jnp.ndarray, variant: str = "auto"):
+    """Weighted pointer jump + finish over a contracted run graph
+    (2*R_cap oriented run nodes; mirror(r) = r +- R_cap).  Shared by the
+    single-chip positioned path and the distributed glue
+    (parallel.distcompact.distributed_compact_pos).  Returns the
+    finish_fast dict in contracted space; n_unitigs negative iff the
+    hierarchical jump overflowed (caller retries variant="plain")."""
+    R2 = csucc.shape[0]
+    cpred = chains_op.build_pred(csucc, cvalid)
+    dist0 = jnp.take(wlen2, jnp.clip(cpred, 0, R2 - 1))
+    use_hier = variant == "hier" or (
+        variant == "auto" and R2 >= chains_op._HIER_MIN)
+    if use_hier:
+        state, ok = chains_op.hier_jump(cpred, cvalid, dist0)
+    else:
+        state = chains_op.plain_jumpF(cpred, cvalid, dist0)
+        ok = jnp.asarray(True)
+    cinfo = chains_op.finish_fast(csucc, cpred, cvalid, state, wlen=wlen2)
+    cinfo["n_unitigs"] = jnp.where(ok, cinfo["n_unitigs"], -1)
+    return cinfo
+
+
 @partial(jax.jit, static_argnames=("R_cap", "variant"))
 def run_decompose(succ: jnp.ndarray, n_solid: jnp.ndarray, is_head, rid,
                   head_pos, end_pos, R, R_cap: int, variant: str = "auto"):
@@ -168,16 +192,8 @@ def run_decompose(succ: jnp.ndarray, n_solid: jnp.ndarray, is_head, rid,
     wlen2 = jnp.concatenate([rlen, rlen])
 
     # ---- weighted jump on the contracted graph ----
-    cpred = chains_op.build_pred(csucc, cvalid)
-    dist0 = jnp.take(wlen2, jnp.clip(cpred, 0, 2 * R_cap - 1))
-    use_hier = variant == "hier" or (
-        variant == "auto" and 2 * R_cap >= chains_op._HIER_MIN)
-    if use_hier:
-        state, ok = chains_op.hier_jump(cpred, cvalid, dist0)
-    else:
-        state = chains_op.plain_jumpF(cpred, cvalid, dist0)
-        ok = jnp.asarray(True)
-    cinfo = chains_op.finish_fast(csucc, cpred, cvalid, state, wlen=wlen2)
+    cinfo = contracted_jump(csucc, cvalid, wlen2, variant=variant)
+    ok = cinfo["n_unitigs"] >= 0
 
     # ---- per-unitig start translated to original oriented ids ----
     cstart = cinfo["start_oid"]

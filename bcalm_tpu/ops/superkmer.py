@@ -95,11 +95,13 @@ def window_min_keys(keys: jnp.ndarray, w: int) -> jnp.ndarray:
     return r
 
 
-@partial(jax.jit, static_argnames=("k", "m", "max_span", "use_rank"))
+@partial(jax.jit,
+         static_argnames=("k", "m", "max_span", "use_rank", "with_pos"))
 def form_superkmers(words: jnp.ndarray, lengths: jnp.ndarray, k: int, m: int,
                     owner_by_key: jnp.ndarray,
                     rank: Optional[jnp.ndarray] = None,
-                    max_span: int = 32, use_rank: bool = False):
+                    max_span: int = 32, use_rank: bool = False,
+                    with_pos: bool = False, pos_base=None):
     """Form + pack superkmers for a block of reads.
 
     Args:
@@ -109,12 +111,18 @@ def form_superkmers(words: jnp.ndarray, lengths: jnp.ndarray, k: int, m: int,
         KEY (the frequency rank when use_rank, else the canonical m-mer)
       rank: (4^m,) uint32 canonical-m-mer -> frequency rank (minimizer-type
         1); required when use_rank
+      with_pos: append one word channel carrying the superkmer's global
+        stream START slot (pos_base + flat position) — feeds the
+        first-occurrence locality ordering (ops.runchains) through the
+        distributed exchange at +1 word/superkmer
+      pos_base: () uint32 stream slot of this block's first position
+        (required when with_pos)
 
     Returns (flattened over B*P positions; entries valid at run starts):
-      skm_words: (Wn, B*P) uint32 packed superkmer bases, the SPAN (k-mer
-                 count, 1..max_span) embedded in the low span_field_bits
-                 of the last word — no separate length channel rides the
-                 exchange (decode with decode_span)
+      skm_words: (Wn [+1 with_pos], B*P) uint32 packed superkmer bases,
+                 the SPAN (k-mer count, 1..max_span) embedded in the low
+                 span_field_bits of word Wn-1 (decode with decode_span);
+                 with_pos appends the stream-position channel last
       owner:     (B*P,) int32 destination partition
       start:     (B*P,) bool superkmer start mask
       n_kmers:   () int32 total valid k-mer positions (for stats)
@@ -162,10 +170,14 @@ def form_superkmers(words: jnp.ndarray, lengths: jnp.ndarray, k: int, m: int,
     rows = [extract_op._shift_pos(fwd_pack, 16 * w) for w in range(Wn)]
     rows[-1] = ((rows[-1] >> np.uint32(bits)) << np.uint32(bits)) \
         | span.astype(_U32)
-    skm_words = jnp.stack(rows, axis=0)                # (Wn, B, P)
+    if with_pos:
+        flat = (jnp.arange(B * P, dtype=_U32).reshape(B, P)
+                + jnp.asarray(pos_base, _U32))
+        rows.append(flat)
+    skm_words = jnp.stack(rows, axis=0)                # (Wn[+1], B, P)
 
     return (
-        skm_words.reshape(Wn, B * P),
+        skm_words.reshape(len(rows), B * P),
         owner.reshape(B * P).astype(_I32),
         start.reshape(B * P),
         jnp.sum(valid.astype(_I32)),

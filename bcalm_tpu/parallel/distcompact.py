@@ -230,6 +230,179 @@ def chain_loop_fn(mesh, n_dev: int, slot_cap: int):
     return jax.jit(fn)
 
 
+def _to_global_layout(sharded, n_dev: int, slot_cap: int):
+    """Device-block-major (n_dev, 2*slot_cap, ...) shards -> global
+    strand-major layout ([+ ids 0..tot) then [- ids tot..2tot))."""
+    tot = n_dev * slot_cap
+    sh = np.asarray(sharded).reshape(n_dev, 2 * slot_cap, -1)
+    return np.concatenate([
+        sh[:, :slot_cap].reshape(tot, -1),
+        sh[:, slot_cap:].reshape(tot, -1),
+    ]).squeeze(-1)
+
+
+def distributed_compact_pos(mesh, solid_per_dev, counts_per_dev,
+                            pos_per_dev, k: int):
+    """Position-ordered distributed compaction — the scalable glue.
+
+    Round 2's doubling loop all_gathered the full 16-byte-per-node state
+    table to every device every round (per-device memory O(total)); this
+    replaces it with the locality-ordered run contraction of
+    ops.runchains, distributed:
+
+    1. host: order the merged solid set by first-occurrence key, flip to
+       as-read orientation, re-shard into POSITION-CONTIGUOUS device
+       slots (gid = d*slot_cap + i preserves stream adjacency),
+    2. mesh: sharded junction matching (entry exchange by key hash, edges
+       routed back to slot owners) — per-device memory O(N/n_dev),
+    3. host: consecutive-run detection over the succ shards (numpy scans;
+       runs break at shard boundaries, adding only O(n_dev) extra runs),
+    4. device: ONE weighted pointer jump over the contracted run graph
+       (ops.runchains.contracted_jump) — typically 20-60x smaller than
+       the node set, so the full-size doubling state never exists
+       anywhere.  Degenerate position quality only grows the contracted
+       graph (worst case = the node count, matching the old behavior);
+       output is correct for ANY positions,
+    5. host: broadcast run results with np.repeat + assembly (host memory
+       O(N), as assembly always was).
+
+    Args:
+      solid_per_dev / counts_per_dev / pos_per_dev: per-device host arrays
+        ((L, n_d) uint32 / (n_d,) int32 / (n_d,) uint32 first-occurrence
+        keys, disjoint k-mer sets)
+    Returns engine.UnitigSet.
+    """
+    from bcalm_tpu import engine as eng
+    from bcalm_tpu.ops import runchains
+
+    n_dev = mesh.devices.size
+    L = solid_per_dev[0].shape[0]
+    lanes = np.concatenate(solid_per_dev, axis=1)
+    counts = np.concatenate(counts_per_dev)
+    pos = np.concatenate(pos_per_dev)
+    order = np.argsort(pos, kind="stable")
+    lanes = lanes[:, order]
+    counts = counts[order]
+    pos = pos[order]
+    N = lanes.shape[1]
+    if N == 0:
+        return eng.UnitigSet(
+            k=k, seqs=[], kc=np.zeros(0, np.int64), abundances=[],
+            circular=np.zeros(0, bool), links=[],
+            stats={"devices": n_dev, "solid_kmers": 0})
+    # flip to as-read orientation (strand bit = key LSB)
+    strand = (pos & 1).astype(bool)
+    lanes = np.asarray(jnp.where(
+        jnp.asarray(strand)[None], ln.revcomp(jnp.asarray(lanes), k),
+        jnp.asarray(lanes)))
+
+    slot_cap = eng._round_capacity(max(1, -(-N // n_dev)))
+    tot = n_dev * slot_cap
+    solid_global = np.zeros((L, tot), np.uint32)
+    counts_global = np.zeros((tot,), np.int32)
+    n_local = np.zeros((n_dev,), np.int32)
+    off = 0
+    for d in range(n_dev):
+        n_d = min(slot_cap, N - off) if off < N else 0
+        solid_global[:, d * slot_cap: d * slot_cap + n_d] = \
+            lanes[:, off: off + n_d]
+        counts_global[d * slot_cap: d * slot_cap + n_d] = \
+            counts[off: off + n_d]
+        n_local[d] = n_d
+        off += n_d
+
+    cap_entries = 4 * slot_cap
+    succ_sh, pred_sh, dropped = distributed_succ(
+        mesh, jnp.asarray(solid_global), jnp.asarray(n_local), k,
+        cap_entries, slot_cap)
+    if dropped:
+        raise RuntimeError(f"junction exchange overflow: {dropped} entries")
+
+    succ_g = _to_global_layout(succ_sh, n_dev, slot_cap).astype(np.int64)
+
+    # ---- host run detection (numpy scans over the + half) ----
+    idx = np.arange(tot)
+    vplus = (idx % slot_cap) < n_local[idx // slot_cap]
+    succ_p = succ_g[:tot]
+    nxt = vplus & (succ_p == idx + 1)
+    is_head = vplus & ~np.concatenate([[False], nxt[:-1]])
+    is_tail = vplus & ~nxt
+    heads = np.nonzero(is_head)[0]
+    tails = np.nonzero(is_tail)[0]
+    R = heads.shape[0]
+    rlen = (tails - heads + 1).astype(np.int32)
+    R_cap = eng._round_capacity(max(1, R))
+
+    # ---- contracted successor graph (host build, numpy searchsorted) ----
+    def xlate(w):
+        wv = np.where(w >= tot, w - tot, w)
+        r_t = np.searchsorted(heads, np.clip(wv, 0, tot), side="right") - 1
+        c = np.where(w >= tot, r_t + R_cap, r_t)
+        return np.where(w >= 0, c, -1).astype(np.int32)
+
+    w_plus = succ_g[tails]                 # + run tails' successors
+    w_minus = succ_g[tot + heads]          # - run tails' successors
+    csucc = np.full((2 * R_cap,), -1, np.int32)
+    csucc[:R] = xlate(w_plus)
+    csucc[R_cap: R_cap + R] = xlate(w_minus)
+    cvalid = np.zeros((2 * R_cap,), bool)
+    cvalid[:R] = True
+    cvalid[R_cap: R_cap + R] = True
+    wlen2 = np.zeros((2 * R_cap,), np.int32)
+    wlen2[:R] = rlen
+    wlen2[R_cap: R_cap + R] = rlen
+
+    cinfo = runchains.contracted_jump(
+        jnp.asarray(csucc), jnp.asarray(cvalid), jnp.asarray(wlen2))
+    if int(cinfo["n_unitigs"]) < 0:
+        cinfo = runchains.contracted_jump(
+            jnp.asarray(csucc), jnp.asarray(cvalid), jnp.asarray(wlen2),
+            variant="plain")
+    cuid = np.asarray(cinfo["uid"])
+    crank = np.asarray(cinfo["rank"])
+    n_unitigs = int(cinfo["n_unitigs"])
+    cstart = np.asarray(cinfo["start_oid"])[:max(1, n_unitigs)]
+
+    # ---- per-unitig start translated to original oriented ids ----
+    csv = np.clip(np.where(cstart >= R_cap, cstart - R_cap, cstart),
+                  0, max(0, R - 1))
+    orig_start = np.where(cstart >= R_cap, tot + tails[csv], heads[csv])
+
+    # ---- broadcast over run members (np.repeat; runs tile the valid
+    # region of each half exactly) ----
+    val_idx = np.nonzero(vplus)[0]
+    uid = np.full((2 * tot,), -1, np.int32)
+    rank = np.zeros((2 * tot,), np.int32)
+    uid[val_idx] = np.repeat(cuid[:R_cap][:R], rlen)
+    rank[val_idx] = (np.repeat(crank[:R_cap][:R], rlen)
+                     + (val_idx - np.repeat(heads, rlen)))
+    uid[tot + val_idx] = np.repeat(cuid[R_cap:][:R], rlen)
+    rank[tot + val_idx] = (np.repeat(crank[R_cap:][:R], rlen)
+                           + (np.repeat(tails, rlen) - val_idx))
+    rank = np.where(uid >= 0, rank, 0)
+
+    info = {
+        "uid": uid,
+        "rank": rank,
+        "n_unitigs": n_unitigs,
+        "start_oid": orig_start,
+        "length": np.asarray(cinfo["length"])[:max(1, n_unitigs)],
+        "circular": np.asarray(cinfo["circular"])[:max(1, n_unitigs)],
+    }
+    seqs, kc, abund, circular = eng.assemble_unitigs(
+        solid_global, counts_global, info, k)
+    links = eng.link_join(seqs, k)
+    return eng.UnitigSet(
+        k=k, seqs=seqs, kc=kc, abundances=abund, circular=circular,
+        links=links, stats={
+            "devices": n_dev,
+            "solid_kmers": int(n_local.sum()),
+            "glue_runs": int(R),
+            "glue_contraction": float(n_local.sum()) / max(1, R),
+        },
+    )
+
+
 def distributed_compact(mesh, solid_per_dev, counts_per_dev, k: int):
     """Host-driven distributed compaction from per-device solid shards.
 

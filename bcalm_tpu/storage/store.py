@@ -108,6 +108,32 @@ class Store:
         return {key: data[key] for key in data.files
                 if key not in ("k", "n_solid")}
 
+    # -- minimizer repartition table (the reference persists
+    # `minimizers/repartition` in its .h5 store — SURVEY.md §3.2 Storage
+    # row; lets resumed/incremental runs reuse the frequency-balanced
+    # routing instead of resampling) --
+
+    def write_repartition(self, table: np.ndarray,
+                          freq_rank: Optional[np.ndarray], m: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        arrays = {"table": np.asarray(table), "m": np.int64(m)}
+        if freq_rank is not None:
+            arrays["freq_rank"] = np.asarray(freq_rank)
+        np.savez_compressed(os.path.join(self.path, "repartition.npz"),
+                            **arrays)
+
+    def read_repartition(self):
+        p = os.path.join(self.path, "repartition.npz")
+        if not os.path.exists(p):
+            return None
+        data = np.load(p)
+        return {
+            "table": data["table"],
+            "freq_rank": (data["freq_rank"]
+                          if "freq_rank" in data.files else None),
+            "m": int(data["m"]),
+        }
+
     def read_histogram(self) -> Optional[np.ndarray]:
         p = os.path.join(self.path, "histogram.npy")
         return np.load(p) if os.path.exists(p) else None

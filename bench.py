@@ -1,25 +1,33 @@
-"""Benchmark: canonical k-mers counted/sec/chip (BASELINE.json primary metric).
+"""Benchmark: BASELINE.json metrics on the production pipeline.
 
-Synthetic read set (random genome, 150 bp reads at given coverage), k=31,
-processed through the PRODUCTION chunked pipeline (engine.count_blocks):
-all device work happens at one fixed chunk shape, so the (slow, remote)
-TPU compile is a one-time cost amortized by the persistent compile cache,
-and the measured figure includes real host<->device streaming.
+Configs (synthetic read sets at the scales BASELINE.json names; no
+network, so real E. coli / C. elegans downloads are replaced by
+random genomes of the corresponding size/coverage):
 
-Prints ONE JSON line.  vs_baseline: ratio against 1e7 canonical
-k-mers/s/node, a documented assumption for reference-class DSK counting
-throughput on a commodity CPU node (the repository publishes no numbers —
-BASELINE.md; the BCALM2 paper reports "hours for a human genome" on one
-desktop, consistent with ~1e7/s).
+  headline   1 Mbp x24, k=31    — counting + compaction device metrics
+  ecoli50x   4.6 Mbp x50, k=31  — E. coli-class scale, counting + compact
+  bigk51     8 Mbp x8, k=51     — multi-lane large-k config
+  e2e        CLI run on a gzipped FASTA on disk (native ingest ->
+             unitigs.fa with links), wall-clock + peak RSS
 
-Env knobs: BENCH_K, BENCH_GENOME, BENCH_COVERAGE, BENCH_READ_LEN,
-BENCH_CHUNK (k-mer slots per device chunk).
+Prints ONE JSON line.  The primary metric stays canonical k-mers
+counted/sec/chip; glued/sec, per-config numbers, and compile (warmup)
+times are carried as extra keys.  vs_baseline: ratio against 1e7
+canonical k-mers/s/node, a documented assumption for reference-class DSK
+counting throughput on a commodity CPU node (the repository publishes no
+numbers — BASELINE.md; the BCALM2 paper reports "hours for a human
+genome" on one desktop, consistent with ~1e7/s).
+
+Env knobs: BENCH_PLATFORM (cpu to force CPU), BENCH_SKIP (comma list of
+config names to skip), BENCH_K/BENCH_GENOME/BENCH_COVERAGE/BENCH_READ_LEN/
+BENCH_CHUNK override the headline config.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -69,6 +77,148 @@ def make_blocks(words, read_len, block_reads):
     return blocks
 
 
+def device_config(name, k, genome_len, coverage, read_len, chunk,
+                  runs=3, seed=0):
+    """Count + compact a synthetic read set on-device; returns metrics."""
+    import jax.numpy as jnp
+
+    from bcalm_tpu import engine
+    from bcalm_tpu.ops import count as count_op
+
+    cfg = engine.EngineConfig(k=k, abundance_min=2, block_reads=8192,
+                              max_len=read_len, chunk_kmers=chunk)
+    reads = gen_reads(genome_len, read_len, coverage, seed)
+    words = pack_uniform(reads)
+    blocks = make_blocks(words, read_len, cfg.block_reads)
+    n_occ = int(reads.shape[0] * (read_len - k + 1))
+    log(f"[{name}] {reads.shape[0]} reads, {len(blocks)} blocks, "
+        f"{n_occ} k-mer occ, k={k}")
+
+    def count_device(blocks_iter):
+        unique, counts, minpos, n_unique, stats = engine.count_blocks(
+            blocks_iter, cfg)
+        n_u = int(n_unique)
+        cap = engine._round_capacity(max(1, n_u))
+        solid, scounts, spos, n_solid = count_op.filter_abundance_pos(
+            unique[:, :cap], counts[:cap], minpos[:cap],
+            jnp.asarray(n_u, jnp.int32),
+            cfg.abundance_min, cfg.abundance_max,
+        )
+        return solid, scounts, spos, int(n_solid), n_u, stats
+
+    t0 = time.time()
+    count_device(iter(blocks[:1]))
+    count_warm = time.time() - t0
+    log(f"[{name}] count warmup (compile) {count_warm:.1f}s")
+
+    times = []
+    result = None
+    for _ in range(runs):
+        t0 = time.time()
+        result = count_device(iter(blocks))
+        times.append(time.time() - t0)
+    t_count = min(times)
+    solid_f, counts_f, pos_f, n_solid, n_distinct, stats = result
+    kmers_per_sec = n_occ / t_count
+    log(f"[{name}] count {t_count*1e3:.1f}ms for {n_occ} occ "
+        f"({n_distinct} distinct, {n_solid} solid) = "
+        f"{kmers_per_sec/1e6:.1f}M/s")
+
+    cap = engine._round_capacity(max(1, n_solid))
+    solid_d, counts_d, pos_d = (solid_f[:, :cap], counts_f[:cap],
+                                pos_f[:cap])
+    t0 = time.time()
+    _, _, _, info = engine.compact_solid_pos(
+        solid_d, counts_d, pos_d, n_solid, k)
+    nu = int(info["n_unitigs"])
+    compact_warm = time.time() - t0
+    log(f"[{name}] compact warmup {compact_warm:.1f}s -> {nu} unitigs")
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        _, _, _, info = engine.compact_solid_pos(
+            solid_d, counts_d, pos_d, n_solid, k)
+        nu = int(info["n_unitigs"])
+        times.append(time.time() - t0)
+    t_compact = min(times)
+    glued_per_sec = n_solid / max(t_compact, 1e-9)
+    log(f"[{name}] compact {t_compact*1e3:.1f}ms = "
+        f"{glued_per_sec/1e6:.2f}M glued/s ({nu} unitigs)")
+    return {
+        "k": k,
+        "kmer_occ": n_occ,
+        "n_solid": n_solid,
+        "count_ms": round(t_count * 1e3, 1),
+        "kmers_per_sec": round(kmers_per_sec, 1),
+        "compact_ms": round(t_compact * 1e3, 1),
+        "glued_per_sec": round(glued_per_sec, 1),
+        "count_warmup_s": round(count_warm, 1),
+        "compact_warmup_s": round(compact_warm, 1),
+        "n_unitigs": nu,
+    }
+
+
+def e2e_config(genome_len=4_600_000, coverage=50, read_len=150, k=31,
+               seed=1):
+    """Full CLI run: gzipped FASTA on disk -> unitigs.fa (native ingest,
+    counting, compaction, links, write).  Wall-clock + peak RSS."""
+    import gzip
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="btpu_bench_")
+    reads_path = os.path.join(d, "reads.fa.gz")
+    rng = np.random.RandomState(seed)
+    genome = rng.randint(0, 4, size=genome_len).astype(np.uint8)
+    lut = np.frombuffer(b"ACTG", np.uint8)
+    n_reads = genome_len * coverage // read_len
+    starts = rng.randint(0, genome_len - read_len, size=n_reads)
+    t0 = time.time()
+    with gzip.open(reads_path, "wb", compresslevel=1) as f:
+        codes = lut[genome[starts[:, None] + np.arange(read_len)[None, :]]]
+        lines = b"\n".join(
+            b">r%d\n%s" % (i, codes[i].tobytes()) for i in range(n_reads)
+        ) + b"\n"
+        f.write(lines)
+    log(f"[e2e] wrote {n_reads} reads ({os.path.getsize(reads_path)>>20} MB "
+        f"gz) in {time.time()-t0:.1f}s")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "bcalm_tpu", "-in", reads_path,
+         "-kmer-size", str(k), "-abundance-min", "2", "-verbose", "1"],
+        cwd=d, env=env, capture_output=True, text=True, timeout=3600,
+    )
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        log(f"[e2e] CLI FAILED rc={proc.returncode}\n{proc.stderr[-2000:]}")
+        return {"error": proc.returncode}
+    peak_mb = None
+    n_unitigs = None
+    for line in proc.stdout.splitlines():
+        if "peak_rss_mb" in line:
+            peak_mb = int(line.split()[-1])
+        if line.startswith("wrote "):
+            n_unitigs = int(line.split()[1])
+    out_path = os.path.join(d, "reads.unitigs.fa")
+    out_mb = os.path.getsize(out_path) >> 20 if os.path.exists(out_path) else 0
+    occ = n_reads * (read_len - k + 1)
+    log(f"[e2e] {wall:.1f}s wall, {occ} occ -> {n_unitigs} unitigs "
+        f"({out_mb} MB), peak RSS {peak_mb} MB")
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    return {
+        "k": k,
+        "kmer_occ": occ,
+        "wall_s": round(wall, 1),
+        "kmers_per_sec_e2e": round(occ / wall, 1),
+        "peak_rss_mb": peak_mb,
+        "n_unitigs": n_unitigs,
+    }
+
+
 def main():
     import jax
 
@@ -81,8 +231,10 @@ def main():
     from bcalm_tpu.utils.jaxcache import enable_cache
 
     enable_cache()
+    log(f"bench: devices={jax.devices()}")
 
-    from bcalm_tpu import engine
+    skip = set(os.environ.get("BENCH_SKIP", "").split(","))
+    out = {}
 
     k = int(os.environ.get("BENCH_K", 31))
     genome_len = int(os.environ.get("BENCH_GENOME", 1_000_000))
@@ -90,84 +242,29 @@ def main():
     coverage = int(os.environ.get("BENCH_COVERAGE", 24))
     chunk = int(os.environ.get("BENCH_CHUNK", 8 * 1024 * 1024))
 
-    cfg = engine.EngineConfig(k=k, abundance_min=2, block_reads=8192,
-                              max_len=read_len, chunk_kmers=chunk)
+    head = device_config("headline", k, genome_len, coverage, read_len, chunk)
+    out["headline"] = head
 
-    log(f"bench: devices={jax.devices()}")
-    log(f"reads: {genome_len}bp genome, {read_len}bp x{coverage}, k={k}, "
-        f"chunk={chunk}")
-    reads = gen_reads(genome_len, read_len, coverage)
-    words = pack_uniform(reads)
-    blocks = make_blocks(words, read_len, cfg.block_reads)
-    n_occ = int(reads.shape[0] * (read_len - k + 1))
-    log(f"{reads.shape[0]} reads in {len(blocks)} blocks, {n_occ} k-mer occ")
-
-    import jax.numpy as jnp
-
-    from bcalm_tpu.ops import count as count_op
-
-    def count_device(blocks_iter):
-        """Full chunked counting + solidity, device-resident: returns
-        (solid, counts, minpos device arrays at trimmed cap, n_solid) —
-        the production build path (engine.build_from_blocks); forcing
-        n_solid materializes every queued device op."""
-        unique, counts, minpos, n_unique, stats = engine.count_blocks(
-            blocks_iter, cfg)
-        n_u = int(n_unique)
-        cap = engine._round_capacity(max(1, n_u))
-        solid, scounts, spos, n_solid = count_op.filter_abundance_pos(
-            unique[:, :cap], counts[:cap], minpos[:cap],
-            jnp.asarray(n_u, jnp.int32),
-            cfg.abundance_min, cfg.abundance_max,
+    if "ecoli50x" not in skip:
+        out["ecoli50x"] = device_config(
+            "ecoli50x", 31, 4_600_000, 50, 150, chunk, runs=2, seed=2)
+    if "bigk51" not in skip:
+        out["bigk51"] = device_config(
+            "bigk51", 51, 8_000_000, 8, 150, chunk, runs=2, seed=3)
+    if "e2e" not in skip:
+        out["e2e"] = e2e_config(
+            genome_len=int(os.environ.get("BENCH_E2E_GENOME", 4_600_000)),
+            coverage=int(os.environ.get("BENCH_E2E_COVERAGE", 50)),
         )
-        return solid, scounts, spos, int(n_solid), n_u, stats
-
-    # warmup/compile with a one-block prefix (same shapes as the real run)
-    t0 = time.time()
-    count_device(iter(blocks[:1]))
-    log(f"warmup (compile) took {time.time()-t0:.1f}s")
-
-    # timed runs: full chunked counting incl. solidity (device-resident,
-    # as in the production build path; the checkpoint D2H copy is
-    # storage I/O, not counting, and is excluded from the metric)
-    times = []
-    result = None
-    for _ in range(3):
-        t0 = time.time()
-        result = count_device(iter(blocks))
-        times.append(time.time() - t0)
-    t_count = min(times)
-    solid_d_full, counts_d_full, pos_d_full, n_solid, n_distinct, stats = result
-    log(f"count: {t_count*1e3:.1f}ms for {n_occ} occurrences "
-        f"({n_distinct} distinct, {n_solid} solid)")
-    kmers_per_sec = n_occ / t_count
-
-    # compaction timing (reorder + junctions + run contraction + chains)
-    cap = engine._round_capacity(max(1, n_solid))
-    solid_d = solid_d_full[:, :cap]
-    counts_d = counts_d_full[:cap]
-    pos_d = pos_d_full[:cap]
-    t0 = time.time()
-    _, _, _, info = engine.compact_solid_pos(
-        solid_d, counts_d, pos_d, n_solid, k)
-    nu = int(info["n_unitigs"])
-    log(f"compact warmup {time.time()-t0:.1f}s -> {nu} unitigs")
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        _, _, _, info = engine.compact_solid_pos(
-            solid_d, counts_d, pos_d, n_solid, k)
-        nu = int(info["n_unitigs"])
-        times.append(time.time() - t0)
-    t_compact = min(times)
-    log(f"compact: {t_compact*1e3:.1f}ms "
-        f"({n_solid/max(t_compact,1e-9):.3g} solid k-mers glued/s)")
 
     print(json.dumps({
         "metric": "canonical_kmers_counted_per_sec_per_chip",
-        "value": round(kmers_per_sec, 1),
+        "value": head["kmers_per_sec"],
         "unit": "kmers/s",
-        "vs_baseline": round(kmers_per_sec / BASELINE_KMERS_PER_SEC, 3),
+        "vs_baseline": round(head["kmers_per_sec"] / BASELINE_KMERS_PER_SEC,
+                             3),
+        "glued_per_sec": head["glued_per_sec"],
+        "configs": out,
     }))
 
 

@@ -72,3 +72,116 @@ def test_circular_distributed(mesh):
     per_s, per_c = split_solid(solid, counts, 8)
     got = distcompact.distributed_compact(mesh, per_s, per_c, k)
     assert len(got.seqs) == 1 and bool(got.circular[0])
+
+
+def split_solid_pos(solid, counts, minpos, n_dev):
+    import jax.numpy as jnp
+    from bcalm_tpu.ops import hashing
+
+    owner = np.asarray(hashing.hash_lanes(jnp.asarray(solid))) % n_dev
+    per = [[], [], []]
+    for d in range(n_dev):
+        m = owner == d
+        per[0].append(solid[:, m])
+        per[1].append(counts[m])
+        per[2].append(minpos[m])
+    return per
+
+
+@pytest.mark.parametrize("seed,k,amin", [(0, 13, 1), (1, 21, 2), (5, 31, 1)])
+def test_distributed_compact_pos_matches(mesh, seed, k, amin):
+    """Position-ordered distributed glue == single-device positioned path
+    (content equality; the scalable replacement for the round-2 full-table
+    all_gather loop)."""
+    from bcalm_tpu.io import packing
+
+    rng = random.Random(seed)
+    genome = "".join(rng.choice("ACGT") for _ in range(700))
+    reads = [genome[i: i + rng.randint(k + 2, k + 40)]
+             for i in [rng.randrange(0, 650) for _ in range(200)]]
+    cfg = engine.EngineConfig(k=k, abundance_min=amin, block_reads=64,
+                              max_len=128)
+    blocks = packing.iter_blocks(reads, k, block_reads=64, max_len=128)
+    solid, counts, minpos, _, _ = engine.count_and_filter(blocks, cfg)
+    if solid.shape[1] == 0:
+        pytest.skip("no solid kmers")
+    per_s, per_c, per_p = split_solid_pos(solid, counts, minpos, 8)
+    got = distcompact.distributed_compact_pos(mesh, per_s, per_c, per_p, k)
+    expect = engine.compact_from_counts(solid, counts, cfg,
+                                        minpos_np=minpos)
+
+    def content(us):
+        km = {
+            brute.content_key(s, k, bool(us.circular[i])):
+                (int(us.kc[i]), sorted(int(a) for a in us.abundances[i]))
+            for i, s in enumerate(us.seqs)
+        }
+        return (brute.content_unitig_set(us.seqs, us.circular, k), km,
+                len(us.links))
+
+    assert content(got) == content(expect)
+    assert got.stats["glue_runs"] >= 1
+
+
+def test_distributed_compact_pos_circular(mesh):
+    from bcalm_tpu.io import packing
+
+    k = 7
+    reads = ["ACTTAGCGGACTTAGC"]
+    cfg = engine.EngineConfig(k=k, abundance_min=1, block_reads=8,
+                              max_len=32)
+    blocks = packing.iter_blocks(reads, k, block_reads=8, max_len=32)
+    solid, counts, minpos, _, _ = engine.count_and_filter(blocks, cfg)
+    per_s, per_c, per_p = split_solid_pos(solid, counts, minpos, 8)
+    got = distcompact.distributed_compact_pos(mesh, per_s, per_c, per_p, k)
+    assert len(got.seqs) == 1 and bool(got.circular[0])
+
+
+def test_distributed_auto_abundance_and_store(mesh, tmp_path):
+    """-devices feature parity (round-2 VERDICT item 4): the distributed
+    build resolves `-abundance-min auto` from the merged histogram exactly
+    like the single-device path, and persists counts + histogram +
+    first-occurrence keys + the repartition table for -skip-bcalm resume."""
+    from bcalm_tpu.io import packing
+    from bcalm_tpu.storage.store import Store
+
+    rng = random.Random(11)
+    genome = "".join(rng.choice("ACGT") for _ in range(600))
+    k = 15
+    reads = []
+    for _ in range(6):                       # real coverage ~6x
+        for i in range(0, 550, 25):
+            reads.append(genome[i:i + 50])
+    for _ in range(40):                      # singleton error reads
+        reads.append("".join(rng.choice("ACGT") for _ in range(50)))
+
+    cfg_d = engine.EngineConfig(k=k, abundance_min=1, block_reads=32,
+                                max_len=64)
+    store = Store(str(tmp_path / "dist"))
+    us = pipeline.distributed_build(reads, cfg_d, mesh,
+                                    auto_amin_cap=20, store=store)
+
+    # single-device auto resolution as reference
+    cfg_s = engine.EngineConfig(k=k, abundance_min=1, block_reads=32,
+                                max_len=64)
+    blocks = packing.iter_blocks(reads, k, block_reads=32, max_len=64)
+    _, _, _, histo, _ = engine.count_and_filter(blocks, cfg_s)
+    expect_amin = engine.auto_abundance_min(histo, 20)
+    assert expect_amin > 1                       # the valley is real
+    assert cfg_d.abundance_min == expect_amin
+    assert us.histogram is not None
+
+    # store round-trip: counts + minpos + repartition persisted
+    assert store.exists()
+    solid_s, counts_s, minpos_s = store.read_counts(k)
+    assert solid_s.shape[1] == us.stats["solid_kmers"]
+    assert minpos_s is not None and minpos_s.shape[0] == solid_s.shape[1]
+    rep = store.read_repartition()
+    assert rep is not None and rep["m"] >= 1
+    assert rep["table"].shape[0] == 4 ** rep["m"]
+
+    # resume from the store reproduces the distributed output
+    resumed = engine.compact_from_counts(
+        solid_s, counts_s, cfg_d, minpos_np=minpos_s)
+    assert (brute.content_unitig_set(resumed.seqs, resumed.circular, k)
+            == brute.content_unitig_set(us.seqs, us.circular, k))

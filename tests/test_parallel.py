@@ -60,3 +60,39 @@ def test_distributed_counts_vs_oracle(mesh):
     got = {ln.lanes_to_int(solid[:, i]): int(counts[i])
            for i in range(solid.shape[1])}
     assert got == brute.count_kmers(reads, k)
+
+
+def test_biased_prefix_repartition(mesh):
+    """Position-sorted input whose FIRST blocks cover only a small genome
+    region must not skew the repartition table (round-2 VERDICT item 8:
+    one-round sampling froze the table on an unrepresentative prefix).
+    Multi-round sampling (pipeline.SAMPLE_ROUNDS) keeps the realized
+    per-device distinct-k-mer load balanced."""
+    import random
+
+    from bcalm_tpu.io import packing
+
+    rng = random.Random(3)
+    k = 15
+    # region A: tiny, low-complexity-ish (few distinct minimizers);
+    # region B: the bulk of the genome
+    region_a = "".join(rng.choice("AC") for _ in range(300))
+    region_b = "".join(rng.choice("ACGT") for _ in range(6000))
+    reads = []
+    # SORTED order: all region-A reads first — exactly the biased prefix
+    for i in range(0, 250, 2):
+        reads.append(region_a[i:i + 50])
+    for i in range(0, 5950, 2):
+        reads.append(region_b[i:i + 50])
+
+    cfg = engine.EngineConfig(k=k, abundance_min=1, block_reads=16,
+                              max_len=64)
+    us = pipeline.distributed_build(reads, cfg, mesh)
+    # the realized distinct-k-mer load must stay balanced despite the
+    # biased prefix (single-round sampling put most of region B's
+    # minimizers on whatever device the region-A table assigned them)
+    assert us.stats["device_load_imbalance"] < 3.0
+    # oracle equality still holds on sorted input
+    expect = engine.build_from_seqs(reads, cfg)
+    assert (brute.content_unitig_set(us.seqs, us.circular, k)
+            == brute.content_unitig_set(expect.seqs, expect.circular, k))

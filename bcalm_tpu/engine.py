@@ -554,7 +554,10 @@ def compact_solid_pos(solid: jnp.ndarray, counts: jnp.ndarray,
     args = (succ, n_dev, scan["is_head"], scan["rid"], scan["head_pos"],
             scan["end_pos"], scan["R"])
     info = runchains.run_decompose(*args, R_cap=R_cap)
-    if int(info["n_unitigs"]) < 0:
+    # the overflow retry check costs a host sync; the plain contracted
+    # jump cannot overflow, so only pay it when hier actually ran
+    if (2 * R_cap >= chains_op._HIER_MIN
+            and int(info["n_unitigs"]) < 0):
         info = runchains.run_decompose(*args, R_cap=R_cap, variant="plain")
     return solid_r, counts_r, succ, info
 

@@ -352,9 +352,12 @@ def distributed_compact_pos(mesh, solid_per_dev, counts_per_dev,
     wlen2[:R] = rlen
     wlen2[R_cap: R_cap + R] = rlen
 
+    from bcalm_tpu.ops import chains as chains_op
+
     cinfo = runchains.contracted_jump(
         jnp.asarray(csucc), jnp.asarray(cvalid), jnp.asarray(wlen2))
-    if int(cinfo["n_unitigs"]) < 0:
+    if (2 * R_cap >= chains_op._HIER_MIN
+            and int(cinfo["n_unitigs"]) < 0):
         cinfo = runchains.contracted_jump(
             jnp.asarray(csucc), jnp.asarray(cvalid), jnp.asarray(wlen2),
             variant="plain")

@@ -257,6 +257,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         if not os.path.exists(in_path):
             print(f"input not found: {in_path}", file=sys.stderr)
             return 1
+        if solidity_kind != "sum":
+            # multi-sample min/max solidity needs per-bank counting; the
+            # mesh path would silently aggregate as 'sum' — refuse rather
+            # than diverge (the round-2 silent-divergence class)
+            print("-devices with -solidity-kind min/max is not supported "
+                  "yet; run without -devices", file=sys.stderr)
+            return 1
         import jax
 
         from bcalm_tpu.parallel import pipeline as par

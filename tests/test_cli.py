@@ -424,3 +424,14 @@ def test_devices_auto_abundance_matches_single(tmp_path):
     # auto must have filtered the error k-mers: no unitig is a pure
     # singleton fragment (all reads at coverage >= 6 survive)
     assert len(outs["single"]) >= 1
+
+
+def test_devices_refuses_min_max_solidity(tmp_path):
+    """Multi-sample min/max solidity on the mesh path would silently
+    behave as 'sum'; the CLI must refuse instead of diverging."""
+    fa = tmp_path / "r.fa"
+    write_fasta_file(fa, [TINY])
+    rc = cli.main(["-in", str(fa), "-kmer-size", "13",
+                   "-abundance-min", "1", "-out", str(tmp_path / "o"),
+                   "-devices", "4", "-solidity-kind", "min"])
+    assert rc == 1

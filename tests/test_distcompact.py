@@ -121,6 +121,11 @@ def test_distributed_compact_pos_matches(mesh, seed, k, amin):
 
     assert content(got) == content(expect)
     assert got.stats["glue_runs"] >= 1
+    # scalability evidence: the jump state is bounded by the contracted
+    # run graph, never the node count — with stream-ordered positions the
+    # contraction factor is substantial, so no device ever held a
+    # full-size doubling table (round-2's all_gather loop is gone)
+    assert got.stats["glue_contraction"] > 3.0
 
 
 def test_distributed_compact_pos_circular(mesh):

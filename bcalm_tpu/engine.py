@@ -347,6 +347,45 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         p = _refold_tail1(minpos[:cap], n_d)
         return u, counts[:cap], p, n_u
 
+    def merge_two(a, b):
+        """Weighted merge of two settled distinct runs on-device."""
+        lanes = jnp.concatenate([a[0], b[0]], axis=1)
+        weights = jnp.concatenate([a[1], b[1]])
+        mpos = jnp.concatenate([a[2], b[2]])
+        cap = _round_capacity(lanes.shape[1])
+        pad = cap - lanes.shape[1]
+        if pad:
+            lanes = jnp.concatenate(
+                [lanes, jnp.full((L, pad), count_op.SENTINEL, jnp.uint32)],
+                axis=1)
+            weights = jnp.concatenate(
+                [weights, jnp.zeros((pad,), jnp.int32)])
+            mpos = jnp.concatenate(
+                [mpos, jnp.full((pad,), count_op.SENTINEL, jnp.uint32)])
+        valid = ~jnp.all(lanes == count_op.SENTINEL, axis=0)
+        unique, counts, n_unique, minpos = count_op.count_canonical(
+            lanes, valid, weights=weights, weighted=True,
+            pos=mpos, with_pos=True)
+        return trim(unique, counts, minpos, int(n_unique))
+
+    def merge_generations():
+        """LSM-style compaction of the settled runs: merge equal-
+        generation runs as the stream progresses, so residency tracks the
+        DISTINCT set (O(log chunks) runs) instead of chunks x distinct.
+        Without this, high-coverage datasets piled up per-chunk runs that
+        are ~95% duplicates of each other and pushed a comfortably
+        HBM-resident distinct set onto the host spill path (measured
+        255s -> ~7s counting on the 184M-occurrence E. coli-50x config)."""
+        nonlocal resident_slots
+        while (len(partials) >= 2
+               and partials[-1][4] == partials[-2][4]):
+            b = partials.pop()
+            a = partials.pop()
+            resident_slots -= a[0].shape[1] + b[0].shape[1]
+            merged = merge_two(a, b)
+            partials.append(merged + (a[4] + 1,))
+            resident_slots += merged[0].shape[1]
+
     def spill_over_budget():
         """Move the oldest settled runs to host RAM while device residency
         exceeds the budget (out-of-core counting)."""
@@ -354,7 +393,7 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         budget = max(cfg.resident_kmers,
                      2 * (chunk_cap or 0))  # never thrash below 2 chunks
         while resident_slots > budget and partials:
-            u, c, p, n = partials.pop(0)
+            u, c, p, n, _gen = partials.pop(0)
             resident_slots -= u.shape[1]
             # fetch the whole pow2-cap array (bounded shape classes), slice
             # on host; exact-size host runs stay lex-sorted
@@ -378,9 +417,10 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         if pending is not None:
             unique, counts, minpos, n_dev = pending
             run = trim(unique, counts, minpos, int(n_dev))
-            partials.append(run)
+            partials.append(run + (0,))
             resident_slots += run[0].shape[1]
             pending = None
+            merge_generations()
             spill_over_budget()
 
     def flush():
@@ -442,7 +482,7 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
     if host_runs:
         # out-of-core path: drain remaining device runs to host and merge
         # in bounded key ranges
-        for u, c, p, n in partials:
+        for u, c, p, n, _gen in partials:
             host_runs.append((np.asarray(u)[:, :n], np.asarray(c)[:n],
                               np.asarray(p)[:n]))
         stats["ooc_spilled_runs"] = len(host_runs)
@@ -459,6 +499,7 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         return (empty, jnp.zeros((16,), jnp.int32),
                 jnp.full((16,), count_op.SENTINEL, jnp.uint32),
                 jnp.asarray(0, jnp.int32), stats)
+    partials = [p[:4] for p in partials]   # generations served their job
     if len(partials) == 1:
         unique, counts, minpos, n_u = partials[0]
         return unique, counts, minpos, jnp.asarray(n_u, jnp.int32), stats

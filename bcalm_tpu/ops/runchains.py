@@ -81,6 +81,37 @@ def reorder_by_pos(solid: jnp.ndarray, counts: jnp.ndarray,
     return lanes_r, counts_r
 
 
+def _shift_fill(x: jnp.ndarray, d: int, fill) -> jnp.ndarray:
+    """x shifted right by d (x[i-d] at i), front filled."""
+    return jnp.concatenate([jnp.full((d,), fill, x.dtype), x[:-d]])
+
+
+def _cummax(x: jnp.ndarray, lo) -> jnp.ndarray:
+    """Inclusive running maximum via log-doubling shifts.
+
+    NOT jax.lax.associative_scan: the remote TPU compile service chokes
+    on associative_scan programs at 2^22+ elements (>40 min per program,
+    measured twice), while this unrolled O(log n)-op form compiles with
+    the rest of the program and runs at bandwidth (~2ms at 2^23)."""
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        x = jnp.maximum(x, _shift_fill(x, d, lo))
+        d *= 2
+    return x
+
+
+def _cummin_rev(x: jnp.ndarray, hi) -> jnp.ndarray:
+    """Reverse (suffix) running minimum via log-doubling shifts."""
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        shifted = jnp.concatenate([x[d:], jnp.full((d,), hi, x.dtype)])
+        x = jnp.minimum(x, shifted)
+        d *= 2
+    return x
+
+
 @partial(jax.jit, static_argnames=("k",))
 def junction_runs(solid_r: jnp.ndarray, n_solid: jnp.ndarray, k: int):
     """Successor array plus consecutive-run structure of the + half.
@@ -100,10 +131,8 @@ def junction_runs(solid_r: jnp.ndarray, n_solid: jnp.ndarray, k: int):
     is_head = vplus & ~jnp.concatenate([jnp.zeros((1,), bool), nxt[:-1]])
     is_tail = vplus & ~nxt
     rid = jnp.cumsum(is_head.astype(jnp.int32)) - 1
-    head_pos = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_head, idx, -1))
-    end_pos = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(is_tail, idx, C), reverse=True)
+    head_pos = _cummax(jnp.where(is_head, idx, -1), -1)
+    end_pos = _cummin_rev(jnp.where(is_tail, idx, C), C)
     R = jnp.sum(is_head.astype(jnp.int32))
     return succ, {
         "is_head": is_head, "rid": rid, "head_pos": head_pos,
@@ -113,22 +142,24 @@ def junction_runs(solid_r: jnp.ndarray, n_solid: jnp.ndarray, k: int):
 
 def _ffill(have: jnp.ndarray, vals, reverse: bool = False):
     """Segmented fill: each position takes the most recent (or, when
-    reverse, the next) position's values where `have` is set.  Pure
-    associative "last-valid-wins" scan — no gathers; reverse is realized
-    by flipping the operands so one monoid orientation serves both."""
-    def op(a, b):
-        ah, av = a
-        bh, bv = b
-        return bh | ah, tuple(
-            jnp.where(bh, bv_j, av_j) for av_j, bv_j in zip(av, bv))
-
+    reverse, the next) position's values where `have` is set.  Log-
+    doubling shifts, NOT associative_scan (see _cummax: the remote TPU
+    compiler stalls on big associative_scan programs)."""
     if reverse:
         have = jnp.flip(have)
         vals = tuple(jnp.flip(v) for v in vals)
-    h, out = jax.lax.associative_scan(op, (have, tuple(vals)))
+    n = have.shape[0]
+    vals = tuple(vals)
+    d = 1
+    while d < n:
+        pv = tuple(_shift_fill(v, d, 0) for v in vals)
+        ph = _shift_fill(have, d, False)
+        vals = tuple(jnp.where(have, v, p) for v, p in zip(vals, pv))
+        have = have | ph
+        d *= 2
     if reverse:
-        out = tuple(jnp.flip(v) for v in out)
-    return out
+        vals = tuple(jnp.flip(v) for v in vals)
+    return vals
 
 
 @partial(jax.jit, static_argnames=("variant",))

@@ -190,7 +190,12 @@ def e2e_config(genome_len=4_600_000, coverage=50, read_len=150, k=31,
         f"gz) in {time.time()-t0:.1f}s")
 
     env = dict(os.environ)
-    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    # PREPEND the repo (keep e.g. the axon sitecustomize path that
+    # registers the TPU plugin — replacing PYTHONPATH outright left the
+    # subprocess with JAX_PLATFORMS=axon but no axon backend)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.abspath(__file__))]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, "-m", "bcalm_tpu", "-in", reads_path,

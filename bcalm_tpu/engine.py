@@ -181,35 +181,29 @@ def _lanes_to_records(lanes_np: np.ndarray) -> np.ndarray:
     return rec
 
 
-def _device_range_merge(lanes_np: np.ndarray, counts_np: np.ndarray,
-                        pos_np: Optional[np.ndarray] = None):
-    """Merge one key-range's concatenated run slices on-device (weighted
-    dedup) and fetch the exact-size distinct result back to host."""
-    from bcalm_tpu.ops import count as count_op
+def _host_range_merge(lanes_np: np.ndarray, counts_np: np.ndarray,
+                      pos_np: Optional[np.ndarray] = None):
+    """Merge one key-range's concatenated run slices on the HOST (weighted
+    dedup via lexsort + reduceat).
 
+    The out-of-core data already lives in host RAM; a device round-trip
+    per range was tunnel-bandwidth-bound on the remote-TPU setup (the
+    20M-distinct k=51 bench config measured 460s counting, almost all of
+    it range-merge transfers).  numpy lexsort at <= chunk-size ranges is
+    seconds total and touches no device."""
     L, n = lanes_np.shape
-    cap = _round_capacity(max(1, n))
-    lanes = np.full((L, cap), count_op.SENTINEL, np.uint32)
-    lanes[:, :n] = lanes_np
-    weights = np.zeros((cap,), np.int32)
-    weights[:n] = counts_np
-    lanes_d = jnp.asarray(lanes)
-    valid = ~jnp.all(lanes_d == count_op.SENTINEL, axis=0)
-    if pos_np is not None:
-        pos = np.full((cap,), count_op.SENTINEL, np.uint32)
-        pos[:n] = pos_np
-        unique, counts, n_unique, minpos = count_op.count_canonical(
-            lanes_d, valid, weights=jnp.asarray(weights), weighted=True,
-            pos=jnp.asarray(pos), with_pos=True,
-        )
-        n_u = int(n_unique)
-        return (np.asarray(unique)[:, :n_u], np.asarray(counts)[:n_u],
-                np.asarray(minpos)[:n_u])
-    unique, counts, n_unique = count_op.count_canonical(
-        lanes_d, valid, weights=jnp.asarray(weights), weighted=True
-    )
-    n_u = int(n_unique)
-    return np.asarray(unique)[:, :n_u], np.asarray(counts)[:n_u], None
+    order = np.lexsort(tuple(lanes_np[j] for j in reversed(range(L))))
+    lanes = lanes_np[:, order]
+    counts = counts_np[order]
+    pos = pos_np[order] if pos_np is not None else None
+    first = np.ones(n, bool)
+    if n > 1:
+        first[1:] = np.any(lanes[:, 1:] != lanes[:, :-1], axis=0)
+    starts = np.nonzero(first)[0]
+    agg = np.add.reduceat(counts.astype(np.int64), starts)
+    out_c = np.minimum(agg, 2**31 - 1).astype(np.int32)
+    out_p = (np.minimum.reduceat(pos, starts) if pos is not None else None)
+    return lanes[:, starts], out_c, out_p
 
 
 def merge_host_runs(runs, merge_cap: int):
@@ -220,7 +214,7 @@ def merge_host_runs(runs, merge_cap: int):
     The TPU analog of DSK's multi-pass partition merge (gatb
     SortingCountAlgorithm pass x partition staging — SURVEY.md §3.2): the
     key space is split into ranges small enough that each range's slices
-    (contiguous in every sorted run) fit one bounded device merge.  Exact
+    (contiguous in every sorted run) fit one bounded host merge.  Exact
     pivots via structured-dtype searchsorted; a range is unsplittable only
     when every entry shares one full key, which is capped by the run count
     (each run holds distinct k-mers), so termination is guaranteed.
@@ -287,7 +281,7 @@ def merge_host_runs(runs, merge_cap: int):
         pos_np = (np.concatenate(
             [p[lo:hi] for (_, _, p), (lo, hi) in zip(runs, bounds)])
             if has_pos else None)
-        ml, mc, mp = _device_range_merge(lanes_np, counts_np, pos_np)
+        ml, mc, mp = _host_range_merge(lanes_np, counts_np, pos_np)
         out_l.append(ml)
         out_c.append(mc)
         out_p.append(mp)

@@ -50,13 +50,21 @@ class EngineConfig:
     # coverage (lax.sort is super-linear: chunk A/B at 2^22/23/24/25 gave
     # 658/467/496/609 ms per 19.2M occurrences); far under HBM limits.
     chunk_kmers: int = 8 * 1024 * 1024
-    # device-resident budget (in k-mer SLOTS) for settled per-chunk distinct
-    # runs.  When the runs outgrow it, the oldest are spilled to host RAM
-    # and the final merge runs in bounded key-range rounds — the TPU analog
-    # of DSK's multi-pass disk staging (gatb ConfigurationAlgorithm passes,
-    # legacy -dsk-memory/-dsk-disk at /root/reference/src/bcalm_1.cpp:22-23):
-    # datasets whose distinct set exceeds HBM still finish.
+    # device-resident budget (in k-mer SLOTS) for settled distinct runs.
+    # Datasets whose distinct set exceeds it are counted in MULTIPLE
+    # PASSES over the input, one key range per pass, each range fully
+    # device-resident (the TPU analog of DSK's pass x partition disk
+    # staging, gatb ConfigurationAlgorithm; legacy -dsk-memory/-dsk-disk
+    # at /root/reference/src/bcalm_1.cpp:22-23).  Ranges split adaptively
+    # at the live median key when residency overflows mid-pass.
     resident_kmers: int = 64 * 1024 * 1024
+    # multi-pass input staging: when re-reading the input is impossible
+    # (one-shot block iterator) the packed blocks are cached — in host RAM,
+    # or memmap-backed under spill_dir when set (the `-max-disk` disk
+    # staging analog, /root/reference/README.md:103).  max_disk_mb bounds
+    # the staging file (0 = unbounded).
+    spill_dir: Optional[str] = None
+    max_disk_mb: int = 0
 
 
 @dataclass
@@ -293,20 +301,157 @@ def merge_host_runs(runs, merge_cap: int):
     return lanes, counts, pos, n_ranges
 
 
-def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
+def _lex_lt(lanes, bound):
+    """Columnwise lexicographic lanes[:, i] < bound over L uint32 lanes."""
+    L = lanes.shape[0]
+    lt = jnp.zeros(lanes.shape[1], bool)
+    eq = jnp.ones(lanes.shape[1], bool)
+    for j in range(L):
+        lt = lt | (eq & (lanes[j] < bound[j]))
+        eq = eq & (lanes[j] == bound[j])
+    return lt
+
+
+@jax.jit
+def _count_chunk_ranged(body, lo, hi):
+    """One fused chunk-count program: sentinel-fold columns whose key
+    lanes fall outside [lo, hi), then count (a separate fold program
+    would cost one extra ~27ms dispatch round-trip per chunk on the
+    tunneled backend).  body is (L+1, N): L key lanes + the pos row.
+    The sentinel key is all-ones which is >= any hi, so already-invalid
+    slots stay folded; the full range (lo=0, hi=all-ones) is an identity
+    fold, so the resident fast path shares this program."""
+    L = body.shape[0] - 1
+    keys = body[:-1]
+    keep = ~_lex_lt(keys, lo) & _lex_lt(keys, hi)
+    body = jnp.where(keep[None], body, count_op.SENTINEL)
+    valid = ~jnp.all(body[:L] == count_op.SENTINEL, axis=0)
+    return count_op.count_canonical(body[:L], valid, pos=body[L],
+                                    with_pos=True)
+
+
+@jax.jit
+def _count_lt(lanes, bound):
+    """Number of (sorted, sentinel-tailed) run columns with key < bound."""
+    return jnp.sum(_lex_lt(lanes, bound).astype(jnp.int32))
+
+
+@jax.jit
+def _settle_n(unique, n_dev, hi):
+    """Valid-prefix length of a freshly counted run under a (possibly
+    just-shrunk) exclusive hi bound.  The run is sorted ascending over its
+    first n_dev columns with a ZERO tail (count_canonical zero-fills), so
+    the index mask is required — zeros compare < hi."""
+    idx = jnp.arange(unique.shape[1], dtype=jnp.int32)
+    keep = (idx < n_dev) & _lex_lt(unique, hi)
+    return jnp.sum(keep.astype(jnp.int32))
+
+
+def _fetch_capacity(n: int) -> int:
+    """Fetch-buffer capacity class: next power of two, or 3*2^(j-1) when
+    that suffices (<=33% transfer overhead vs <=100% for pure pow2, at
+    the cost of one extra compiled copy-program class per size)."""
+    c = _round_capacity(n)
+    if c >= 32 and 3 * (c // 4) >= n:
+        return 3 * (c // 4)
+    return c
+
+
+@_partial(jax.jit, static_argnames=("capf",))
+def _pack_fetch(u, c, p, capf: int):
+    """Stack a trimmed run into one (L+2, capf) uint32 buffer for a single
+    device->host transfer (counts are non-negative, so the uint32 view is
+    lossless)."""
+    return jnp.concatenate(
+        [u[:, :capf], c[:capf].astype(jnp.uint32)[None], p[:capf][None]],
+        axis=0)
+
+
+class _BlockCache:
+    """Staging for multi-pass re-reads of packed blocks: host RAM, or a
+    memmap-backed file under spill_dir (the `-max-disk` staging analog of
+    the reference's _gatb/ temp partitions, /root/reference/README.md:103).
+    max_disk_mb bounds the staging file size (0 = unbounded)."""
+
+    def __init__(self, spill_dir: Optional[str] = None, max_disk_mb: int = 0):
+        self.spill_dir = spill_dir
+        self.max_disk_mb = max_disk_mb
+        self._mem: list = []
+        self._meta: list = []       # (B, W, offset) per block
+        self._file = None
+        self._path = None
+        self._bytes = 0
+
+    def add(self, words: np.ndarray, lengths: np.ndarray):
+        if self.spill_dir is None:
+            self._mem.append((words, lengths))
+            return
+        if self._file is None:
+            import os
+            import tempfile
+            os.makedirs(self.spill_dir, exist_ok=True)
+            fd, self._path = tempfile.mkstemp(
+                suffix=".blocks", dir=self.spill_dir)
+            self._file = os.fdopen(fd, "wb")
+        B, W = words.shape
+        self._meta.append((B, W, self._bytes))
+        data = words.astype(np.uint32).tobytes() \
+            + lengths.astype(np.int32).tobytes()
+        self._bytes += len(data)
+        if self.max_disk_mb and self._bytes > self.max_disk_mb * 1_000_000:
+            raise RuntimeError(
+                f"-max-disk exceeded: block staging needs "
+                f">{self._bytes >> 20} MB (limit {self.max_disk_mb} MB)")
+        self._file.write(data)
+
+    def blocks(self) -> Iterator[packing.ReadBlock]:
+        if self.spill_dir is None:
+            for words, lengths in self._mem:
+                yield packing.ReadBlock(words, lengths)
+            return
+        self._file.flush()
+        mm = np.memmap(self._path, dtype=np.uint8, mode="r")
+        for B, W, off in self._meta:
+            nw = B * W * 4
+            words = np.frombuffer(
+                mm, np.uint32, count=B * W, offset=off).reshape(B, W)
+            lengths = np.frombuffer(mm, np.int32, count=B, offset=off + nw)
+            yield packing.ReadBlock(words, lengths)
+
+    def close(self):
+        if self._file is not None:
+            import os
+            self._file.close()
+            try:
+                os.unlink(self._path)
+            except OSError:
+                pass
+            self._file = None
+
+
+def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
+                 reread=None):
     """Extract + count canonical k-mers over all blocks, chunked.
 
-    Memory-bounded streaming (the TPU analog of DSK's (pass x partition)
-    disk staging): extraction output accumulates into fixed-size chunks of
-    cfg.chunk_kmers occurrence slots; each full chunk is counted/deduped
-    on-device (one compiled shape, reused); the per-chunk distinct runs
-    are then merged with one weighted count.
+    Memory-bounded streaming: extraction output accumulates into
+    fixed-size chunks of cfg.chunk_kmers occurrence slots; each full chunk
+    is counted/deduped on-device (one compiled shape, reused); the
+    per-chunk distinct runs LSM-merge on-device so residency tracks the
+    distinct set.
 
-    Out-of-core: when the settled distinct runs outgrow cfg.resident_kmers
-    device slots, the oldest runs spill to host RAM and the final merge
-    runs in bounded key ranges (merge_host_runs) — datasets whose distinct
-    set exceeds HBM complete, returning HOST arrays instead of device
-    arrays (stats carries "ooc_spilled_runs"/"ooc_merge_ranges").
+    Out-of-core (the TPU-native analog of DSK's pass x partition disk
+    staging, gatb SortingCountAlgorithm/ConfigurationAlgorithm —
+    SURVEY.md §3.2): when the distinct set outgrows cfg.resident_kmers
+    device slots, counting becomes MULTI-PASS over key ranges.  The
+    current range splits at the live median key of its largest resident
+    run (dropping the upper half and queueing it for a later pass), so
+    every range ends fully device-resident and every distinct k-mer
+    crosses the host link exactly once, as an exact-size ASYNC fetch that
+    overlaps the next pass's compute — the host link on this backend runs
+    at ~30 MB/s (scripts/probe_transfer.py), so bytes moved, not merges,
+    dominate OOC wall time.  Later passes re-read the input: via reread()
+    when given, else from a packed-block cache (host RAM, or memmap under
+    cfg.spill_dir honoring cfg.max_disk_mb — the `-max-disk` analog).
 
     Every distinct k-mer also carries its FIRST-OCCURRENCE key
     ((stream slot << 1) | rc-strand, min over occurrences): the locality
@@ -314,8 +459,8 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
     operand; see count_canonical.
 
     Returns (unique, counts, minpos, n_unique, stats) — device arrays
-    sorted and compacted to the front (host arrays of exact size on the
-    spill path).
+    sorted and compacted to the front (globally sorted host arrays of
+    exact size on the multi-pass path; stats carries "ooc_passes").
     """
     L = ln.num_lanes(cfg.k)
     chunk_buf = None   # (L+1, chunk_cap + block_F) device buffer (+pos row)
@@ -323,13 +468,24 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
     block_F = None     # folded slots per block (fixed block geometry)
     chunk_fill = 0
     slot_base = 0                     # global stream slot counter (pos keys)
-    partials = []                 # (unique, counts, minpos, n) per chunk
+    partials = []            # (unique, counts, minpos, n, gen) per chunk
     pending = None                # last chunk's (unique, counts, minpos, n)
-    host_runs = []                # spilled (lanes_np, counts_np, pos_np)
     resident_slots = 0                # sum of pow2 caps held in `partials`
     n_reads = 0
     n_bases = 0
     n_occ = 0
+
+    # ---- multi-pass key-range state ----
+    lo_np = np.zeros((L,), np.uint32)
+    hi_np = np.full((L,), count_op.SENTINEL, np.uint32)
+    lo_d = jnp.asarray(lo_np)
+    hi_d = jnp.asarray(hi_np)
+    range_stack: list = []   # pending (lo, hi) ranges, ascending on pop
+    results: list = []       # finished ranges: (fetch buf | np triple, n)
+    cache = _BlockCache(cfg.spill_dir, cfg.max_disk_mb) if reread is None \
+        else None
+    pass_no = 0
+    did_split = False
 
     def trim(unique, counts, minpos, n_u):
         """Slice a distinct run to a POWER-OF-2 capacity (bounded compile
@@ -365,11 +521,9 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
     def merge_generations():
         """LSM-style compaction of the settled runs: merge equal-
         generation runs as the stream progresses, so residency tracks the
-        DISTINCT set (O(log chunks) runs) instead of chunks x distinct.
-        Without this, high-coverage datasets piled up per-chunk runs that
-        are ~95% duplicates of each other and pushed a comfortably
-        HBM-resident distinct set onto the host spill path (measured
-        255s -> ~7s counting on the 184M-occurrence E. coli-50x config)."""
+        DISTINCT set (O(log chunks) runs) instead of chunks x distinct
+        (measured 255s -> ~7s counting on the 184M-occurrence E. coli-50x
+        config)."""
         nonlocal resident_slots
         while (len(partials) >= 2
                and partials[-1][4] == partials[-2][4]):
@@ -380,19 +534,67 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
             partials.append(merged + (a[4] + 1,))
             resident_slots += merged[0].shape[1]
 
-    def spill_over_budget():
-        """Move the oldest settled runs to host RAM while device residency
-        exceeds the budget (out-of-core counting)."""
-        nonlocal resident_slots
-        budget = max(cfg.resident_kmers,
-                     2 * (chunk_cap or 0))  # never thrash below 2 chunks
+    refilter_pending = False   # a split happened since the last settle:
+    # the in-flight pending chunk was counted under the OLD hi and must be
+    # re-filtered when settled (else its upper-half keys double-count)
+
+    def split_current_range():
+        """Shrink the current key range while residency exceeds budget:
+        pick the median key of the largest resident run as the new
+        exclusive hi, drop resident entries past it, and queue the upper
+        half for a later pass (the adaptive-partition analog of DSK's
+        ConfigurationAlgorithm pass sizing)."""
+        nonlocal hi_np, hi_d, resident_slots, did_split, refilter_pending
+        budget = max(cfg.resident_kmers, 2 * (chunk_cap or 0))
         while resident_slots > budget and partials:
-            u, c, p, n, _gen = partials.pop(0)
-            resident_slots -= u.shape[1]
-            # fetch the whole pow2-cap array (bounded shape classes), slice
-            # on host; exact-size host runs stay lex-sorted
-            host_runs.append((np.asarray(u)[:, :n], np.asarray(c)[:n],
-                              np.asarray(p)[:n]))
+            biggest = max(partials, key=lambda r: r[3])
+            u, _, _, n, _ = biggest
+            split = None
+            idx = n // 2
+            while idx < n:
+                cand = np.asarray(u[:, idx])
+                if tuple(cand) > tuple(lo_np) and tuple(cand) < tuple(hi_np):
+                    split = cand
+                    break
+                idx += max(1, (n - idx) // 2)
+            if split is None:
+                # every resident key equals lo: a single distinct key
+                # cannot exceed the budget; nothing to split
+                return
+            did_split = True
+            refilter_pending = True
+            range_stack.append((split.copy(), hi_np.copy()))
+            hi_np = split.copy()
+            hi_d = jnp.asarray(hi_np)
+            new_partials = []
+            resident_slots = 0
+            for (ru, rc, rp, rn, rgen) in partials:
+                n_new = int(_count_lt(ru, hi_d))
+                run = trim(ru, rc, rp, n_new)
+                new_partials.append(run + (rgen,))
+                resident_slots += run[0].shape[1]
+            partials[:] = new_partials
+
+    def settle_pending():
+        """Materialize the PREVIOUS chunk's distinct count and trim it.
+
+        Lagged by one chunk so the n_unique fetch (a host<->device sync)
+        overlaps with the next chunk's queued device work instead of
+        stalling the pipeline after every chunk."""
+        nonlocal pending, resident_slots, refilter_pending
+        if pending is not None:
+            unique, counts, minpos, n_dev = pending
+            if refilter_pending:
+                n_eff = int(_settle_n(unique, n_dev, hi_d))
+                refilter_pending = False
+            else:
+                n_eff = int(n_dev)
+            run = trim(unique, counts, minpos, n_eff)
+            partials.append(run + (0,))
+            resident_slots += run[0].shape[1]
+            pending = None
+            merge_generations()
+            split_current_range()
 
     def fresh_buf():
         # chunk_cap is a power of two (the sort's shape class); the extra
@@ -401,22 +603,6 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         return jnp.full((L + 1, chunk_cap + block_F), count_op.SENTINEL,
                         jnp.uint32)
 
-    def settle_pending():
-        """Materialize the PREVIOUS chunk's distinct count and trim it.
-
-        Lagged by one chunk so the n_unique fetch (a host<->device sync)
-        overlaps with the next chunk's queued device work instead of
-        stalling the pipeline after every chunk."""
-        nonlocal pending, resident_slots
-        if pending is not None:
-            unique, counts, minpos, n_dev = pending
-            run = trim(unique, counts, minpos, int(n_dev))
-            partials.append(run + (0,))
-            resident_slots += run[0].shape[1]
-            pending = None
-            merge_generations()
-            spill_over_budget()
-
     def flush():
         nonlocal chunk_buf, chunk_fill, pending
         if chunk_fill == 0:
@@ -424,10 +610,8 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
         # partially-filled chunks (stream tail) count at the smallest
         # power-of-two capacity covering the fill — bounded shape classes
         body_cap = min(chunk_cap, _round_capacity(chunk_fill))
-        body = chunk_buf[:, :body_cap]
-        valid = ~jnp.all(body[:L] == count_op.SENTINEL, axis=0)
-        unique, counts, n_unique, minpos = count_op.count_canonical(
-            body[:L], valid, pos=body[L], with_pos=True)
+        unique, counts, n_unique, minpos = _count_chunk_ranged(
+            chunk_buf[:, :body_cap], lo_d, hi_d)
         settle_pending()
         pending = (unique, counts, minpos, n_unique)
         leftover = max(0, chunk_fill - chunk_cap)
@@ -440,104 +624,174 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig):
             chunk_buf = jax.lax.dynamic_update_slice(chunk_buf, tail, (0, 0))
         chunk_fill = leftover
 
-    for block in blocks:
-        folded, _ = _extract_fold(
-            jnp.asarray(block.words), jnp.asarray(block.lengths), cfg.k,
-            np.uint32(slot_base & 0x7FFFFFFF),
-        )
-        F = folded.shape[1]
-        slot_base += F
-        if chunk_buf is None or F != block_F:
-            if chunk_buf is not None:  # geometry change: drain old buffer
-                flush()
-            block_F = F
-            # power-of-two capacity: the shape class the bitonic sort wants
-            chunk_cap = _round_capacity(max(cfg.chunk_kmers, F))
+    def run_pass(block_iter, first_pass: bool):
+        nonlocal chunk_buf, chunk_cap, block_F, chunk_fill, slot_base
+        nonlocal n_reads, n_bases, n_occ
+        slot_base = 0
+        chunk_fill = 0
+        if chunk_buf is not None:
             chunk_buf = fresh_buf()
-            chunk_fill = 0
-        lens = block.lengths.astype(np.int64)
-        n_reads += int((lens > 0).sum())
-        n_bases += int(lens.sum())
-        n_occ += int(np.maximum(0, lens - cfg.k + 1).sum())
-        chunk_buf = _chunk_insert(chunk_buf, folded,
-                                  jnp.asarray(chunk_fill, jnp.int32))
-        chunk_fill += F
-        if chunk_fill >= chunk_cap:
-            flush()
-    flush()
-
-    stats = {"reads": n_reads, "bases": n_bases, "kmer_occurrences": n_occ}
-    if pending is not None and not partials and not host_runs:
-        # single-chunk dataset: the run needs no trim (callers re-slice to
-        # the final capacity) and no n_unique sync here (callers fetch it)
-        unique, counts, minpos, n_dev = pending
-        return unique, counts, minpos, n_dev, stats
-    settle_pending()
-    if host_runs:
-        # out-of-core path: drain remaining device runs to host and merge
-        # in bounded key ranges
-        for u, c, p, n, _gen in partials:
-            host_runs.append((np.asarray(u)[:, :n], np.asarray(c)[:n],
-                              np.asarray(p)[:n]))
-        stats["ooc_spilled_runs"] = len(host_runs)
-        lanes_np, counts_np, pos_np, n_ranges = merge_host_runs(
-            host_runs, cfg.chunk_kmers)
-        stats["ooc_merge_ranges"] = n_ranges
-        if lanes_np is None:
-            lanes_np = np.zeros((L, 0), np.uint32)
-            counts_np = np.zeros((0,), np.int32)
-            pos_np = np.zeros((0,), np.uint32)
-        return lanes_np, counts_np, pos_np, int(counts_np.shape[0]), stats
-    if not partials:
-        empty = jnp.zeros((L, 16), dtype=jnp.uint32)
-        return (empty, jnp.zeros((16,), jnp.int32),
-                jnp.full((16,), count_op.SENTINEL, jnp.uint32),
-                jnp.asarray(0, jnp.int32), stats)
-    partials = [p[:4] for p in partials]   # generations served their job
-    if len(partials) == 1:
-        unique, counts, minpos, n_u = partials[0]
-        return unique, counts, minpos, jnp.asarray(n_u, jnp.int32), stats
-
-    # merge the distinct runs with one weighted count (hierarchically if
-    # the concatenation would exceed the chunk budget)
-    while len(partials) > 1:
-        group = []
-        acc = 0
-        rest = []
-        for p in partials:
-            # always take at least two (guarantees progress), then respect
-            # the chunk budget
-            if len(group) >= 2 and acc + p[3] > cfg.chunk_kmers:
-                rest.append(p)
-            else:
-                group.append(p)
-                acc += p[3]
-        lanes = jnp.concatenate([p[0] for p in group], axis=1)
-        weights = jnp.concatenate([p[1] for p in group])
-        mpos = jnp.concatenate([p[2] for p in group])
-        cap = _round_capacity(lanes.shape[1])
-        pad = cap - lanes.shape[1]
-        if pad:
-            lanes = jnp.concatenate(
-                [lanes, jnp.full((L, pad), count_op.SENTINEL, jnp.uint32)],
-                axis=1,
+        for block in block_iter:
+            if first_pass and cache is not None:
+                cache.add(block.words, block.lengths)
+            folded, _ = _extract_fold(
+                jnp.asarray(block.words), jnp.asarray(block.lengths), cfg.k,
+                np.uint32(slot_base & 0x7FFFFFFF),
             )
-            weights = jnp.concatenate([weights, jnp.zeros((pad,), jnp.int32)])
-            mpos = jnp.concatenate(
-                [mpos, jnp.full((pad,), count_op.SENTINEL, jnp.uint32)])
-        valid = ~jnp.all(lanes == count_op.SENTINEL, axis=0)
-        unique, counts, n_unique, minpos = count_op.count_canonical(
-            lanes, valid, weights=weights, weighted=True,
-            pos=mpos, with_pos=True,
-        )
-        if not rest:
-            # final merge round: skip the trim + n_unique sync (callers
-            # re-slice to the final capacity and fetch n themselves)
-            return unique, counts, minpos, n_unique, stats
-        merged = trim(unique, counts, minpos, int(n_unique))
-        partials = rest + [merged]
-    unique, counts, minpos, n_u = partials[0]
-    return unique, counts, minpos, jnp.asarray(n_u, jnp.int32), stats
+            F = folded.shape[1]
+            slot_base += F
+            if chunk_buf is None or F != block_F:
+                if chunk_buf is not None:  # geometry change: drain buffer
+                    flush()
+                block_F = F
+                # power-of-two capacity: the bitonic sort's shape class
+                chunk_cap = _round_capacity(max(cfg.chunk_kmers, F))
+                chunk_buf = fresh_buf()
+                chunk_fill = 0
+            if first_pass:
+                lens = block.lengths.astype(np.int64)
+                n_reads += int((lens > 0).sum())
+                n_bases += int(lens.sum())
+                n_occ += int(np.maximum(0, lens - cfg.k + 1).sum())
+            chunk_buf = _chunk_insert(chunk_buf, folded,
+                                      jnp.asarray(chunk_fill, jnp.int32))
+            chunk_fill += F
+            if chunk_fill >= chunk_cap:
+                flush()
+        flush()
+
+    def final_range_run():
+        """Merge this range's partials into one distinct run.  Returns
+        (unique, counts, minpos, n_dev_or_int) — n left un-synced (device
+        scalar) where the caller doesn't need it on host."""
+        if pending is not None and not partials:
+            unique, counts, minpos, n_dev = pending
+            return unique, counts, minpos, n_dev
+        settle_pending()
+        if not partials:
+            empty = jnp.zeros((L, 16), dtype=jnp.uint32)
+            return (empty, jnp.zeros((16,), jnp.int32),
+                    jnp.full((16,), count_op.SENTINEL, jnp.uint32),
+                    jnp.asarray(0, jnp.int32))
+        group = [p[:4] for p in partials]
+        partials.clear()
+        if len(group) == 1:
+            unique, counts, minpos, n_u = group[0]
+            return unique, counts, minpos, jnp.asarray(n_u, jnp.int32)
+        # merge the distinct runs with one weighted count (hierarchically
+        # if the concatenation would exceed the chunk budget)
+        while True:
+            take = []
+            acc = 0
+            rest = []
+            for p in group:
+                # always take at least two (guarantees progress), then
+                # respect the chunk budget
+                if len(take) >= 2 and acc + p[3] > cfg.chunk_kmers:
+                    rest.append(p)
+                else:
+                    take.append(p)
+                    acc += p[3]
+            lanes = jnp.concatenate([p[0] for p in take], axis=1)
+            weights = jnp.concatenate([p[1] for p in take])
+            mpos = jnp.concatenate([p[2] for p in take])
+            cap = _round_capacity(lanes.shape[1])
+            pad = cap - lanes.shape[1]
+            if pad:
+                lanes = jnp.concatenate(
+                    [lanes,
+                     jnp.full((L, pad), count_op.SENTINEL, jnp.uint32)],
+                    axis=1)
+                weights = jnp.concatenate(
+                    [weights, jnp.zeros((pad,), jnp.int32)])
+                mpos = jnp.concatenate(
+                    [mpos, jnp.full((pad,), count_op.SENTINEL, jnp.uint32)])
+            valid = ~jnp.all(lanes == count_op.SENTINEL, axis=0)
+            unique, counts, n_unique, minpos = count_op.count_canonical(
+                lanes, valid, weights=weights, weighted=True,
+                pos=mpos, with_pos=True)
+            if not rest:
+                return unique, counts, minpos, n_unique
+            merged = trim(unique, counts, minpos, int(n_unique))
+            group = rest + [merged]
+
+    def start_fetch(unique, counts, minpos, n: int):
+        """Exact-class async device->host fetch of a finished range (one
+        stacked buffer; the transfer overlaps the next pass's compute)."""
+        capf = _fetch_capacity(max(1, n))
+        cap_have = unique.shape[1]
+        if cap_have < capf:  # single-chunk pending path: pad via trim
+            u2, c2, p2, _ = trim(unique, counts, minpos, n)
+            unique, counts, minpos = u2, c2, p2
+        buf = _pack_fetch(unique, counts, minpos, capf)
+        buf.copy_to_host_async()
+        return buf
+
+    def materialize(buf, n: int):
+        arr = np.asarray(buf)
+        return (arr[:L, :n].copy(),
+                arr[L, :n].astype(np.int32),
+                arr[L + 1, :n].copy())
+
+    # ---- pass loop ----
+    block_iter = iter(blocks)
+    stats: Dict = {}
+    while True:
+        pass_no += 1
+        first = pass_no == 1
+        if first:
+            run_pass(block_iter, True)
+        elif reread is not None:
+            run_pass(reread(), False)
+        else:
+            run_pass(cache.blocks(), False)
+        if first and not did_split and not range_stack:
+            # everything resident: the single-pass fast path returns
+            # device arrays with n un-synced (callers fetch it)
+            if cache is not None:
+                cache.close()
+            unique, counts, minpos, n_dev = final_range_run()
+            stats = {"reads": n_reads, "bases": n_bases,
+                     "kmer_occurrences": n_occ}
+            return unique, counts, minpos, n_dev, stats
+        unique, counts, minpos, n_dev = final_range_run()
+        n = int(n_dev)
+        # materialize the PREVIOUS range's fetch now: its transfer had a
+        # whole pass to complete, and freeing it bounds device memory to
+        # two in-flight fetch buffers
+        if results and not isinstance(results[-1][0], tuple):
+            buf_prev, n_prev = results[-1]
+            results[-1] = (materialize(buf_prev, n_prev), n_prev)
+        results.append((start_fetch(unique, counts, minpos, n), n))
+        del unique, counts, minpos
+        if not range_stack:
+            break
+        lo_np, hi_np = range_stack.pop()
+        lo_d = jnp.asarray(lo_np)
+        hi_d = jnp.asarray(hi_np)
+    if cache is not None:
+        cache.close()
+
+    # ---- host assembly (ranges are ascending, so concatenation is the
+    # globally sorted distinct table) ----
+    triples = []
+    for buf, n in results:
+        triples.append(buf if isinstance(buf, tuple)
+                       else materialize(buf, n))
+    total = sum(t[1].shape[0] for t in triples)
+    lanes_np = np.zeros((L, total), np.uint32)
+    counts_np = np.zeros((total,), np.int32)
+    pos_np = np.zeros((total,), np.uint32)
+    off = 0
+    for u, c, p in triples:
+        m = c.shape[0]
+        lanes_np[:, off:off + m] = u
+        counts_np[off:off + m] = c
+        pos_np[off:off + m] = p
+        off += m
+    stats = {"reads": n_reads, "bases": n_bases, "kmer_occurrences": n_occ,
+             "ooc_passes": pass_no, "ooc_ranges": len(results)}
+    return lanes_np, counts_np, pos_np, total, stats
 
 
 @_partial(jax.jit, static_argnames=("k", "variant"))
@@ -842,14 +1096,16 @@ def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
     )
 
 
-def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig) -> UnitigSet:
+def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig,
+                      reread=None) -> UnitigSet:
     """Device-resident end-to-end build (no host round-trip of the solid
     set between counting and compaction).
 
-    On the out-of-core path (distinct set spilled to host) the histogram +
-    solidity filter run in numpy and compaction restarts from the (much
-    smaller) solid set."""
-    unique, counts, minpos, n_unique, stats = count_blocks(blocks, cfg)
+    On the out-of-core path (multi-pass counting, host-resident distinct
+    table) the histogram + solidity filter run in numpy and compaction
+    restarts from the (much smaller) solid set."""
+    unique, counts, minpos, n_unique, stats = count_blocks(
+        blocks, cfg, reread=reread)
     if isinstance(unique, np.ndarray):
         counts_np = np.asarray(counts)
         binned = np.minimum(counts_np, cfg.histo_max)
@@ -901,7 +1157,8 @@ def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig) ->
     return us
 
 
-def count_and_filter(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig):
+def count_and_filter(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig,
+                     reread=None):
     """Counting phase -> host arrays (for storage/checkpoint + compaction).
 
     Returns (solid_np (L,n) uint32, counts_np (n,) int32, minpos_np (n,)
@@ -911,12 +1168,16 @@ def count_and_filter(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig):
     (storage/checkpoint), and host masking is far cheaper than device
     scatter-compaction + a second transfer.
     """
-    unique, counts, minpos, n_unique, stats = count_blocks(blocks, cfg)
+    unique, counts, minpos, n_unique, stats = count_blocks(
+        blocks, cfg, reread=reread)
     n_u = int(n_unique)
-    cap = _round_capacity(max(1, n_u))
-    unique_np = np.asarray(unique[:, :cap])[:, :n_u]
-    counts_np = np.asarray(counts[:cap])[:n_u]
-    minpos_np = np.asarray(minpos[:cap])[:n_u]
+    if isinstance(unique, np.ndarray):   # multi-pass path: already exact
+        unique_np, counts_np, minpos_np = unique, counts, minpos
+    else:
+        cap = _round_capacity(max(1, n_u))
+        unique_np = np.asarray(unique[:, :cap])[:, :n_u]
+        counts_np = np.asarray(counts[:cap])[:n_u]
+        minpos_np = np.asarray(minpos[:cap])[:n_u]
     binned = np.minimum(counts_np, cfg.histo_max)
     histo = np.bincount(binned, minlength=cfg.histo_max + 1).astype(np.int32)
     keep = (counts_np >= cfg.abundance_min) & (counts_np <= cfg.abundance_max)

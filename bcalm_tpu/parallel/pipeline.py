@@ -56,13 +56,19 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs), (AXIS,))
 
 
-def _route_to_buckets(stacked, valid, owner, n_dev: int, cap: int):
+def _route_to_buckets(stacked, valid, owner, n_dev: int, cap: int,
+                      with_slots: bool = False):
     """Scatter entries into per-destination fixed buckets by owner id.
 
     stacked: channel-major (C, N) uint32 (lane rows + packed payload rows).
     Returns (buckets (C, n_dev, cap), bucket_valid (n_dev, cap),
-    n_dropped scalar).  Overflow within a destination bucket is counted,
-    never silent.
+    n_dropped scalar[, slots (N,)]).  Overflow within a destination bucket
+    is counted, never silent.
+
+    with_slots: also return each input entry's flat bucket slot
+    (owner*cap + within; n_dev*cap for dropped/invalid entries) — the
+    request/response exchange pattern uses it to match answers that come
+    back in the same bucket layout to their original entries.
     """
     C, N = stacked.shape
     owner = jnp.where(valid, owner, n_dev)
@@ -88,7 +94,12 @@ def _route_to_buckets(stacked, valid, owner, n_dev: int, cap: int):
     bv = jnp.zeros((n_dev * cap,), dtype=bool)
     bv = bv.at[dest].set(ok, mode="drop")
     n_dropped = jnp.sum((s_valid & ~ok).astype(jnp.int32))
-    return bl.reshape(C, n_dev, cap), bv.reshape(n_dev, cap), n_dropped
+    out = (bl.reshape(C, n_dev, cap), bv.reshape(n_dev, cap), n_dropped)
+    if with_slots:
+        # unsort: slot of ORIGINAL entry i = dest at sorted position of i
+        slots = jnp.zeros((N,), jnp.int32).at[order].set(dest)
+        out = out + (slots,)
+    return out
 
 
 def _local_shard_count(words, lengths, k: int, n_dev: int, cap: int):

@@ -6,9 +6,14 @@ random genomes of the corresponding size/coverage):
 
   headline   1 Mbp x24, k=31    — counting + compaction device metrics
   ecoli50x   4.6 Mbp x50, k=31  — E. coli-class scale, counting + compact
-  bigk51     8 Mbp x8, k=51     — multi-lane large-k config
+  spill31    12 Mbp x15, k=31   — genuinely out-of-core (distinct set >
+             device residency budget -> multi-pass key-range counting)
+  bigk51     20 Mbp x8, k=51    — multi-lane large-k config through the
+             same multi-pass out-of-core path
   e2e        CLI run on a gzipped FASTA on disk (native ingest ->
              unitigs.fa with links), wall-clock + peak RSS
+  celegans   (opt-in BENCH_SCALE=1) 100 Mbp x30, k=51 — C. elegans-class
+             scale through the CLI (BASELINE.md config)
 
 Prints ONE JSON line.  The primary metric stays canonical k-mers
 counted/sec/chip; glued/sec, per-config numbers, and compile (warmup)
@@ -18,9 +23,17 @@ counting throughput on a commodity CPU node (the repository publishes no
 numbers — BASELINE.md; the BCALM2 paper reports "hours for a human
 genome" on one desktop, consistent with ~1e7/s).
 
+Out-of-core configs are bounded below by the HOST LINK, not by compute:
+the tunneled TPU moves ~30 MB/s each way (scripts/probe_transfer.py), so
+a 20M-distinct k=51 table (480 MB) cannot leave the device in under
+~16s here; on a real TPU host (PCIe, ~10 GB/s) the identical code is
+compute-bound.  docs/OOC.md has the measured breakdown.
+
 Env knobs: BENCH_PLATFORM (cpu to force CPU), BENCH_SKIP (comma list of
-config names to skip), BENCH_K/BENCH_GENOME/BENCH_COVERAGE/BENCH_READ_LEN/
-BENCH_CHUNK override the headline config.
+config names to skip), BENCH_BUDGET_S (wall budget, default 600; checked
+before every config and before e2e input generation), BENCH_SCALE=1
+(adds the C. elegans-class CLI config), BENCH_K/BENCH_GENOME/
+BENCH_COVERAGE/BENCH_READ_LEN/BENCH_CHUNK override the headline config.
 """
 
 from __future__ import annotations
@@ -81,9 +94,9 @@ def device_config(name, k, genome_len, coverage, read_len, chunk,
                   runs=3, seed=0, resident=None):
     """Count + compact a synthetic read set on-device; returns metrics.
 
-    resident: k-mer slots resident on device before the out-of-core host
-    spill engages (exercises the beyond-HBM counting path at real scale
-    when set below the distinct count)."""
+    resident: k-mer slots resident on device before multi-pass key-range
+    counting engages (exercises the beyond-HBM out-of-core path at real
+    scale when set below the distinct count)."""
     import jax.numpy as jnp
 
     from bcalm_tpu import engine
@@ -102,7 +115,14 @@ def device_config(name, k, genome_len, coverage, read_len, chunk,
 
     def count_device(blocks_iter):
         unique, counts, minpos, n_unique, stats = engine.count_blocks(
-            blocks_iter, cfg)
+            blocks_iter, cfg, reread=lambda: iter(blocks))
+        if isinstance(unique, np.ndarray):
+            # multi-pass path: host-resident exact table; filter in numpy
+            # (the table just crossed the link — masking is free)
+            keep = ((counts >= cfg.abundance_min)
+                    & (counts <= cfg.abundance_max))
+            return (unique[:, keep], counts[keep], minpos[keep],
+                    int(keep.sum()), int(n_unique), stats)
         n_u = int(n_unique)
         cap = engine._round_capacity(max(1, n_u))
         solid, scounts, spos, n_solid = count_op.filter_abundance_pos(
@@ -127,12 +147,24 @@ def device_config(name, k, genome_len, coverage, read_len, chunk,
     solid_f, counts_f, pos_f, n_solid, n_distinct, stats = result
     kmers_per_sec = n_occ / t_count
     log(f"[{name}] count {t_count*1e3:.1f}ms for {n_occ} occ "
-        f"({n_distinct} distinct, {n_solid} solid) = "
+        f"({n_distinct} distinct, {n_solid} solid, "
+        f"{stats.get('ooc_passes', 1)} passes) = "
         f"{kmers_per_sec/1e6:.1f}M/s")
 
     cap = engine._round_capacity(max(1, n_solid))
-    solid_d, counts_d, pos_d = (solid_f[:, :cap], counts_f[:cap],
-                                pos_f[:cap])
+    if isinstance(solid_f, np.ndarray):
+        import jax.numpy as jnp
+        L = solid_f.shape[0]
+        solid_d = jnp.asarray(np.concatenate(
+            [solid_f, np.zeros((L, cap - n_solid), np.uint32)], axis=1))
+        counts_d = jnp.asarray(np.concatenate(
+            [counts_f, np.zeros((cap - n_solid,), np.int32)]))
+        pos_d = jnp.asarray(np.concatenate(
+            [pos_f, np.full((cap - n_solid,), count_op.SENTINEL,
+                            np.uint32)]))
+    else:
+        solid_d, counts_d, pos_d = (solid_f[:, :cap], counts_f[:cap],
+                                    pos_f[:cap])
     t0 = time.time()
     _, _, _, info = engine.compact_solid_pos(
         solid_d, counts_d, pos_d, n_solid, k)
@@ -154,7 +186,7 @@ def device_config(name, k, genome_len, coverage, read_len, chunk,
         "k": k,
         "kmer_occ": n_occ,
         "n_solid": n_solid,
-        "ooc_spilled_runs": stats.get("ooc_spilled_runs", 0),
+        "ooc_passes": stats.get("ooc_passes", 1),
         "count_ms": round(t_count * 1e3, 1),
         "kmers_per_sec": round(kmers_per_sec, 1),
         "compact_ms": round(t_compact * 1e3, 1),
@@ -165,29 +197,49 @@ def device_config(name, k, genome_len, coverage, read_len, chunk,
     }
 
 
-def e2e_config(genome_len=4_600_000, coverage=50, read_len=150, k=31,
-               seed=1):
-    """Full CLI run: gzipped FASTA on disk -> unitigs.fa (native ingest,
-    counting, compaction, links, write).  Wall-clock + peak RSS."""
+def _cached_reads_gz(genome_len, coverage, read_len, seed):
+    """Generate (once) and cache the e2e input FASTA: input generation
+    cost 47s of driver budget per run in round 3."""
     import gzip
-    import tempfile
 
-    d = tempfile.mkdtemp(prefix="btpu_bench_")
-    reads_path = os.path.join(d, "reads.fa.gz")
+    cache_dir = os.environ.get("BENCH_CACHE_DIR", "/tmp/btpu_bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(
+        cache_dir, f"reads_g{genome_len}_c{coverage}_l{read_len}_s{seed}.fa.gz")
+    if os.path.exists(path) and os.path.getsize(path) > 0:
+        log(f"[e2e] cached input {path} ({os.path.getsize(path)>>20} MB)")
+        return path
     rng = np.random.RandomState(seed)
     genome = rng.randint(0, 4, size=genome_len).astype(np.uint8)
     lut = np.frombuffer(b"ACTG", np.uint8)
     n_reads = genome_len * coverage // read_len
     starts = rng.randint(0, genome_len - read_len, size=n_reads)
     t0 = time.time()
-    with gzip.open(reads_path, "wb", compresslevel=1) as f:
+    tmp = path + ".tmp"
+    with gzip.open(tmp, "wb", compresslevel=1) as f:
         codes = lut[genome[starts[:, None] + np.arange(read_len)[None, :]]]
         lines = b"\n".join(
             b">r%d\n%s" % (i, codes[i].tobytes()) for i in range(n_reads)
         ) + b"\n"
         f.write(lines)
-    log(f"[e2e] wrote {n_reads} reads ({os.path.getsize(reads_path)>>20} MB "
-        f"gz) in {time.time()-t0:.1f}s")
+    os.replace(tmp, path)
+    log(f"[e2e] wrote {n_reads} reads ({os.path.getsize(path)>>20} MB gz) "
+        f"in {time.time()-t0:.1f}s")
+    return path
+
+
+def cli_config(name, genome_len, coverage, read_len, k, seed,
+               extra_args=()):
+    """Full CLI run: gzipped FASTA on disk -> unitigs.fa (native ingest,
+    counting, compaction, links, write).  Wall-clock + peak RSS."""
+    import shutil
+    import tempfile
+
+    reads_path = _cached_reads_gz(genome_len, coverage, read_len, seed)
+    n_reads = genome_len * coverage // read_len
+    d = tempfile.mkdtemp(prefix="btpu_bench_")
+    local = os.path.join(d, "reads.fa.gz")
+    os.symlink(reads_path, local)
 
     env = dict(os.environ)
     # PREPEND the repo (keep e.g. the axon sitecustomize path that
@@ -198,13 +250,16 @@ def e2e_config(genome_len=4_600_000, coverage=50, read_len=150, k=31,
         + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
     t0 = time.time()
     proc = subprocess.run(
-        [sys.executable, "-m", "bcalm_tpu", "-in", reads_path,
-         "-kmer-size", str(k), "-abundance-min", "2", "-verbose", "1"],
+        [sys.executable, "-m", "bcalm_tpu", "-in", local,
+         "-kmer-size", str(k), "-abundance-min", "2", "-verbose", "1",
+         *extra_args],
         cwd=d, env=env, capture_output=True, text=True, timeout=3600,
     )
     wall = time.time() - t0
     if proc.returncode != 0:
-        log(f"[e2e] CLI FAILED rc={proc.returncode}\n{proc.stderr[-2000:]}")
+        log(f"[{name}] CLI FAILED rc={proc.returncode}\n"
+            f"{proc.stderr[-2000:]}")
+        shutil.rmtree(d, ignore_errors=True)
         return {"error": proc.returncode}
     peak_mb = None
     n_unitigs = None
@@ -216,10 +271,8 @@ def e2e_config(genome_len=4_600_000, coverage=50, read_len=150, k=31,
     out_path = os.path.join(d, "reads.unitigs.fa")
     out_mb = os.path.getsize(out_path) >> 20 if os.path.exists(out_path) else 0
     occ = n_reads * (read_len - k + 1)
-    log(f"[e2e] {wall:.1f}s wall, {occ} occ -> {n_unitigs} unitigs "
+    log(f"[{name}] {wall:.1f}s wall, {occ} occ -> {n_unitigs} unitigs "
         f"({out_mb} MB), peak RSS {peak_mb} MB")
-    import shutil
-
     shutil.rmtree(d, ignore_errors=True)
     return {
         "k": k,
@@ -250,7 +303,7 @@ def main():
     # takes minutes-to-tens-of-minutes per new program class; rather than
     # time out with no output, later configs are skipped once the budget
     # is spent (reported in the JSON), and a warm cache runs everything
-    budget = float(os.environ.get("BENCH_BUDGET_S", 3600))
+    budget = float(os.environ.get("BENCH_BUDGET_S", 600))
     t_start = time.time()
     out = {}
     skipped = []
@@ -260,9 +313,6 @@ def main():
     read_len = int(os.environ.get("BENCH_READ_LEN", 150))
     coverage = int(os.environ.get("BENCH_COVERAGE", 24))
     chunk = int(os.environ.get("BENCH_CHUNK", 8 * 1024 * 1024))
-
-    head = device_config("headline", k, genome_len, coverage, read_len, chunk)
-    out["headline"] = head
 
     def budget_left(name):
         if name in skip:
@@ -274,32 +324,53 @@ def main():
             return False
         return True
 
-    if budget_left("ecoli50x"):
-        out["ecoli50x"] = device_config(
-            "ecoli50x", 31, 4_600_000, 50, 150, chunk, runs=2, seed=2)
-    if budget_left("bigk51"):
-        # large-k config through the OUT-OF-CORE spill path: ~20M distinct
-        # k-mers exceed even the 2-chunk residency floor (16.8M slots), so
-        # counting genuinely stages through host RAM + bounded key-range
-        # merges at beyond-budget scale
-        out["bigk51"] = device_config(
-            "bigk51", 51, 20_000_000, 8, 150, chunk, runs=2, seed=3,
-            resident=1)
-    if budget_left("e2e"):
-        out["e2e"] = e2e_config(
-            genome_len=int(os.environ.get("BENCH_E2E_GENOME", 4_600_000)),
-            coverage=int(os.environ.get("BENCH_E2E_COVERAGE", 50)),
-        )
+    def run_config(name, fn):
+        """Run one config; a failure degrades the report, never kills it."""
+        if not budget_left(name):
+            return
+        try:
+            out[name] = fn()
+        except Exception as e:  # noqa: BLE001 — report and continue
+            log(f"[{name}] FAILED: {e!r}")
+            out[name] = {"error": str(e)[:200]}
+        log(f"[partial] {json.dumps(out.get(name))}")
+
+    run_config("headline", lambda: device_config(
+        "headline", k, genome_len, coverage, read_len, chunk))
+    run_config("ecoli50x", lambda: device_config(
+        "ecoli50x", 31, 4_600_000, 50, 150, chunk, runs=2, seed=2))
+    # out-of-core configs: resident=1 clamps the device budget to the
+    # 2-chunk floor, forcing genuine multi-pass key-range counting (the
+    # distinct sets exceed the floor).  spill31 is sized so the demo is
+    # compute-bound; bigk51 is the VERDICT-named shape (20M distinct,
+    # 480 MB table) whose floor here is the ~30 MB/s host link
+    run_config("spill31", lambda: device_config(
+        "spill31", 31, 12_000_000, 15, 150, 4 * 1024 * 1024, runs=2,
+        seed=4, resident=1))
+    run_config("bigk51", lambda: device_config(
+        "bigk51", 51, 20_000_000, 8, 150, chunk, runs=2, seed=3,
+        resident=1))
+    run_config("e2e", lambda: cli_config(
+        "e2e",
+        int(os.environ.get("BENCH_E2E_GENOME", 4_600_000)),
+        int(os.environ.get("BENCH_E2E_COVERAGE", 50)), 150, 31, seed=1))
+    if os.environ.get("BENCH_SCALE"):
+        # C. elegans-class scale (BASELINE.md config): 100 Mbp x30, k=51
+        # through the CLI.  ~3G occurrences; opt-in because generation +
+        # run exceed the default driver budget
+        run_config("celegans", lambda: cli_config(
+            "celegans", 100_000_000, 30, 150, 51, seed=7))
     if skipped:
         out["skipped_over_budget"] = skipped
 
+    head = out.get("headline", {})
     print(json.dumps({
         "metric": "canonical_kmers_counted_per_sec_per_chip",
-        "value": head["kmers_per_sec"],
+        "value": head.get("kmers_per_sec", 0),
         "unit": "kmers/s",
-        "vs_baseline": round(head["kmers_per_sec"] / BASELINE_KMERS_PER_SEC,
-                             3),
-        "glued_per_sec": head["glued_per_sec"],
+        "vs_baseline": round(
+            head.get("kmers_per_sec", 0) / BASELINE_KMERS_PER_SEC, 3),
+        "glued_per_sec": head.get("glued_per_sec", 0),
         "configs": out,
     }))
 

@@ -1,10 +1,12 @@
-"""Out-of-core counting: distinct runs spill to host and the bounded
-key-range merge must reproduce in-HBM counting exactly.
+"""Out-of-core counting: adaptive multi-pass key-range partitioning must
+reproduce in-HBM counting exactly.
 
 The reference sizes (pass x partition) disk staging so any dataset fits
 RAM (gatb ConfigurationAlgorithm, SURVEY.md §3.2; legacy -dsk-memory /
 -dsk-disk at /root/reference/src/bcalm_1.cpp:22-23); here HBM plays the
-role of RAM and host memory plays the role of disk.
+role of RAM, passes re-read the input (or a packed-block cache, memmap
+under -max-disk staging), and each pass's key range is chosen adaptively
+by median splits when device residency overflows.
 """
 
 import random
@@ -44,9 +46,9 @@ def test_spill_path_counts_match_oracle():
     cfg = _tiny_ooc_cfg(k)
     blocks = packing.iter_blocks(reads, k, block_reads=16, max_len=64)
     unique, counts, minpos, n_u, stats = engine.count_blocks(blocks, cfg)
-    # the spill path must actually trigger, and must return host arrays
-    assert stats.get("ooc_spilled_runs", 0) > 1
-    assert stats.get("ooc_merge_ranges", 0) > 1
+    # the multi-pass path must actually trigger, and must return host arrays
+    assert stats.get("ooc_passes", 0) > 1
+    assert stats.get("ooc_ranges", 0) > 1
     assert isinstance(unique, np.ndarray)
     keys, expect = _oracle_counts(reads, k)
     got = ln.lanes_to_ints(unique)
@@ -76,7 +78,7 @@ def test_ooc_end_to_end_build_matches_in_memory():
     us_mem = engine.build_from_seqs(
         reads, engine.EngineConfig(k=k, abundance_min=1, block_reads=16,
                                    max_len=64))
-    assert us_ooc.stats.get("ooc_spilled_runs", 0) > 0
+    assert us_ooc.stats.get("ooc_passes", 0) > 1
     assert (brute.canonical_unitig_set(us_ooc.seqs)
             == brute.canonical_unitig_set(us_mem.seqs))
     km_o = {brute.unitig_key(s): int(us_ooc.kc[i])
@@ -135,3 +137,58 @@ def test_merge_host_runs_multi_range():
     assert n_ranges > 4
     got = {int(v): int(c) for v, c in zip(ln.lanes_to_ints(lanes), counts)}
     assert got == expect
+
+
+def test_multipass_reread_no_cache():
+    """reread callable: later passes re-read the input instead of caching
+    packed blocks (the CLI wires bank re-opening here, matching the
+    reference's P full input reads per DSK run — SURVEY.md §4.2)."""
+    reads = _reads(11, 4000, 60, 3)
+    k = 21
+    cfg = _tiny_ooc_cfg(k)
+
+    def mk():
+        return packing.iter_blocks(reads, k, block_reads=16, max_len=64)
+
+    unique, counts, minpos, n_u, stats = engine.count_blocks(
+        mk(), cfg, reread=mk)
+    assert stats.get("ooc_passes", 0) > 1
+    keys, expect = _oracle_counts(reads, k)
+    assert list(ln.lanes_to_ints(unique)) == keys
+    assert list(np.asarray(counts)) == expect
+
+
+def test_multipass_disk_staging(tmp_path):
+    """spill_dir: the packed-block cache stages through a memmap file
+    (the `-max-disk` disk-staging analog, /root/reference/README.md:103),
+    and the staging file is removed afterwards."""
+    import os
+
+    reads = _reads(13, 3000, 60, 3)
+    k = 21
+    cfg = _tiny_ooc_cfg(k)
+    cfg.spill_dir = str(tmp_path)
+    blocks = packing.iter_blocks(reads, k, block_reads=16, max_len=64)
+    unique, counts, minpos, n_u, stats = engine.count_blocks(blocks, cfg)
+    assert stats.get("ooc_passes", 0) > 1
+    keys, expect = _oracle_counts(reads, k)
+    assert list(ln.lanes_to_ints(unique)) == keys
+    assert list(np.asarray(counts)) == expect
+    assert os.listdir(tmp_path) == []   # staging cleaned up
+
+
+def test_max_disk_exceeded_raises(tmp_path):
+    reads = _reads(17, 3000, 60, 3)
+    k = 21
+    cfg = _tiny_ooc_cfg(k)
+    cfg.spill_dir = str(tmp_path)
+    cfg.max_disk_mb = 1
+    # force a cache far beyond 1 MB by repeating the reads
+    big = reads * 40
+    blocks = packing.iter_blocks(big, k, block_reads=16, max_len=64)
+    try:
+        engine.count_blocks(blocks, cfg)
+    except RuntimeError as e:
+        assert "max-disk" in str(e)
+    else:
+        raise AssertionError("expected -max-disk overflow to raise")

@@ -109,7 +109,7 @@ def test_positioned_ooc_spill_build():
                               max_len=64, chunk_kmers=512,
                               resident_kmers=1024)
     got = engine.build_from_seqs(reads, cfg)
-    assert got.stats.get("ooc_spilled_runs", 0) > 0
+    assert got.stats.get("ooc_passes", 0) > 1
     cfg2 = engine.EngineConfig(k=k, abundance_min=1, block_reads=16,
                                max_len=64)
     expect = engine.build_from_seqs(reads, cfg2)

@@ -174,97 +174,261 @@ def distributed_succ(mesh, solid_sharded, n_local, k, cap_entries, slot_cap):
     return succ, pred, int(dropped)
 
 
-def _chain_loop_shard(succ_l, pred_l, n_loc, n_dev: int, slot_cap: int):
-    """Per-device pointer-jumping shard: the state table is sharded; each
-    doubling round all_gathers the (4-int-per-node) table over the mesh and
-    resolves ancestor rows locally — the log-round collective replacement
-    for the reference's CAS-contended shared-memory union-find
-    (example/uf/testUF.cpp), with psum'd convergence."""
+def _respond(ans_rows, n_dev: int, qcap: int):
+    """Return answers computed in the received-bucket layout to their
+    senders.  The receive buffer's bucket j came from device j, so one
+    all_to_all along the bucket axis puts every answer back at its
+    querying device, at the flat slot the query was routed from — the
+    `slots` array from _route_to_buckets(with_slots=True) indexes it
+    directly."""
+    C = ans_rows.shape[0]
+    return jax.lax.all_to_all(
+        ans_rows.reshape(C, n_dev, qcap), AXIS,
+        split_axis=1, concat_axis=1).reshape(C, -1)
+
+
+def _glue_shard(succ_l, n_loc, *, n_dev: int, slot_cap: int, run_cap: int,
+                qcap: int):
+    """Per-device glue body: run detection, contracted-graph construction
+    via request/response rid lookups, sharded weighted pointer jumping
+    over the contracted run graph, and finish — everything device-side.
+
+    The TPU-native replacement for bglue's shared-memory union-find
+    (gatb bcalm2/bglue_algo.cpp, example/uf/testUF.cpp:22-63): per-device
+    memory is O(slot_cap + run_cap + n_dev*qcap) = O(N/n_dev) with
+    bounded exchange capacities (overflow counted, host retries bigger).
+
+    Returns per-device run arrays + per-run chain labels (see
+    distributed_compact_pos for the host assembly contract).
+    """
     from bcalm_tpu.ops import chains as chains_op
+    from bcalm_tpu.ops.runchains import _cummax, _cummin_rev
 
-    me = jax.lax.axis_index(AXIS)
+    me = jax.lax.axis_index(AXIS).astype(jnp.int32)
     tot = n_dev * slot_cap
-    two_cap = 2 * slot_cap
-    lidx = jnp.arange(two_cap, dtype=jnp.int32)
-    slot = me.astype(jnp.int32) * slot_cap + (lidx % slot_cap)
-    gidx = jnp.where(lidx >= slot_cap, tot + slot, slot)
-    valid_l = (lidx % slot_cap) < n_loc[0]
-    pred_l = jnp.where(valid_l, pred_l, -1)
-    state = chains_op.init_state(pred_l, valid_l, gidx, 2 * tot)
+    C_tot = n_dev * run_cap
+    lidx = jnp.arange(slot_cap, dtype=jnp.int32)
+    vplus = lidx < n_loc[0]
+    succ_p = succ_l[:slot_cap]
+    gslot = me * slot_cap + lidx
 
-    def g2row(g):
-        """Global oriented id -> row in the device-block-gathered table."""
-        s = jnp.where(g >= tot, g - tot, g)
-        loc = s % slot_cap + jnp.where(g >= tot, slot_cap, 0)
-        return (s // slot_cap) * two_cap + loc
+    # ---- consecutive-run detection (local scans; shard boundaries break
+    # runs, adding <= 1 run per device — the contracted graph still links
+    # them through csucc) ----
+    nxt = vplus & (succ_p == gslot + 1) & (lidx + 1 < slot_cap)
+    is_head = vplus & ~jnp.concatenate([jnp.zeros((1,), bool), nxt[:-1]])
+    is_tail = vplus & ~nxt
+    rid_loc = jnp.cumsum(is_head.astype(jnp.int32)) - 1
+    n_runs = jnp.sum(is_head.astype(jnp.int32))
+    head_pos_v = _cummax(jnp.where(is_head, lidx, -1), -1)
+    end_pos_v = _cummin_rev(jnp.where(is_tail, lidx, slot_cap), slot_cap)
+    sel = jnp.sort(jnp.where(is_head, lidx.astype(jnp.uint32), SENTINEL)
+                   )[:run_cap]
+    hpos = jnp.minimum(sel, np.uint32(max(0, slot_cap - 1))).astype(jnp.int32)
+    rvalid = jnp.arange(run_cap, dtype=jnp.int32) < n_runs
+    epos = jnp.take(end_pos_v, jnp.clip(hpos, 0, slot_cap - 1))
+    rlen = jnp.where(rvalid, epos - hpos + 1, 0)
+    run_overflow = jax.lax.psum(
+        (n_runs > run_cap).astype(jnp.int32), AXIS)
 
-    R = chains_op._max_rounds(2 * tot)
+    def gq_owner(g):
+        s = jnp.where(g >= C_tot, g - C_tot, g)
+        return s // run_cap
+
+    def gq_local(g):
+        s = jnp.where(g >= C_tot, g - C_tot, g)
+        return s % run_cap + jnp.where(g >= C_tot, run_cap, 0)
+
+    def mirror_g(g):
+        return jnp.where(g >= C_tot, g - C_tot, g + C_tot)
+
+    # ---- contracted successors: rid + weight lookups at w's owner ----
+    w_plus = jnp.take(succ_p, jnp.clip(epos, 0, slot_cap - 1))
+    w_minus = jnp.take(succ_l,
+                       jnp.clip(slot_cap + hpos, 0, 2 * slot_cap - 1))
+    w = jnp.concatenate([w_plus, w_minus])
+    rvalid2 = jnp.concatenate([rvalid, rvalid])
+    q_ok = rvalid2 & (w >= 0)
+    wv = jnp.where(w >= tot, w - tot, w)
+    own = jnp.where(q_ok, wv // slot_cap, n_dev)
+    bl, bv, drop1, slots = _route_to_buckets(
+        wv.astype(jnp.uint32)[None], q_ok, own, n_dev, qcap,
+        with_slots=True)
+    recv_l, recv_v = _exchange(bl, bv)
+    rv = recv_v.reshape(-1)
+    lv = jnp.clip(recv_l.reshape(-1).astype(jnp.int32) - me * slot_cap,
+                  0, slot_cap - 1)
+    ans_rid = jnp.where(rv, me * run_cap + jnp.take(rid_loc, lv), -1)
+    ans_w = jnp.where(
+        rv, jnp.take(end_pos_v, lv) - jnp.take(head_pos_v, lv) + 1, 0)
+    back = _respond(jnp.stack([ans_rid.astype(jnp.uint32),
+                               ans_w.astype(jnp.uint32)]), n_dev, qcap)
+    slots_c = jnp.clip(slots, 0, n_dev * qcap - 1)
+    a_rid = jnp.where(q_ok, jnp.take(back[0], slots_c).astype(jnp.int32), -1)
+    a_w = jnp.where(q_ok, jnp.take(back[1], slots_c).astype(jnp.int32), 0)
+    csucc = jnp.where(a_rid >= 0,
+                      jnp.where(w >= tot, a_rid + C_tot, a_rid), -1)
+    wsucc = a_w
+    cvalid = rvalid2
+    wlen2 = jnp.concatenate([rlen, rlen])
+
+    # pred via mirror symmetry: mirror of local (+ run i) is local (- run
+    # i) — a half-rotation, so pred and its edge weight are LOCAL
+    succ_m = jnp.concatenate([csucc[run_cap:], csucc[:run_cap]])
+    w_m = jnp.concatenate([wsucc[run_cap:], wsucc[:run_cap]])
+    pred = jnp.where(succ_m >= 0, mirror_g(succ_m), -1)
+
+    # ---- sharded weighted flagged doubling over the contracted graph:
+    # each round routes ancestor-row REQUESTS to their owners and routes
+    # the 4-int rows back (per-device traffic O(run_cap), never a gather
+    # of the whole table — the round-2/3 scalability complaint) ----
+    two_rc = 2 * run_cap
+    gidx2 = jnp.concatenate([
+        me * run_cap + jnp.arange(run_cap, dtype=jnp.int32),
+        C_tot + me * run_cap + jnp.arange(run_cap, dtype=jnp.int32)])
+    has_pred = (pred >= 0) & cvalid
+    Q0 = jnp.stack([
+        jnp.where(has_pred, pred, gidx2),
+        jnp.where(has_pred, w_m,
+                  np.int32(chains_op._F_ROOTED | chains_op._F_SETTLED)),
+        jnp.where(cvalid, gidx2, 2 * C_tot),
+        jnp.zeros((two_rc,), jnp.int32),
+    ], axis=1)
+    R_rounds = chains_op._max_rounds(2 * C_tot)
 
     def cond(carry):
-        state, changed, t = carry
-        return changed & (t < R)
+        _, changed, t, _ = carry
+        return changed & (t < R_rounds)
 
     def body(carry):
-        state, _, t = carry
-        full = jax.lax.all_gather(state, AXIS, tiled=True)
-        anc = jnp.take(full, g2row(state[:, chains_op._PTR]), axis=0)
-        new = chains_op.round_update(state, anc)
+        Q, _, t, drops = carry
+        rooted = (Q[:, chains_op._DSF] & chains_op._F_ROOTED) != 0
+        need = cvalid & ~rooted
+        qg = Q[:, chains_op._PTR]
+        ow = jnp.where(need, gq_owner(qg), n_dev)
+        qbl, qbv, dr, qslots = _route_to_buckets(
+            qg.astype(jnp.uint32)[None], need, ow, n_dev, qcap,
+            with_slots=True)
+        rl_, rv_ = _exchange(qbl, qbv)
+        rloc = jnp.clip(gq_local(rl_.reshape(-1).astype(jnp.int32)),
+                        0, two_rc - 1)
+        rows = jnp.take(Q, rloc, axis=0)                # (n_dev*qcap, 4)
+        back_rows = _respond(
+            jnp.transpose(rows).astype(jnp.uint32), n_dev, qcap)
+        anc = jnp.transpose(
+            jnp.take(back_rows, jnp.clip(qslots, 0, n_dev * qcap - 1),
+                     axis=1)).astype(jnp.int32)
+        new = jnp.where(need[:, None], chains_op._composeF(Q, anc), Q)
         changed = jax.lax.psum(
-            jnp.any(new != state).astype(jnp.int32), AXIS) > 0
-        return new, changed, t + 1
+            jnp.any(new != Q).astype(jnp.int32), AXIS) > 0
+        return new, changed, t + 1, drops + jax.lax.psum(dr, AXIS)
 
-    state, _, _ = jax.lax.while_loop(
-        cond, body, (state, jnp.asarray(True), jnp.asarray(0))
-    )
-    return state
+    F, _, _, loop_drops = jax.lax.while_loop(
+        cond, body, (Q0, jnp.asarray(True), jnp.asarray(0),
+                     jnp.asarray(0, jnp.int32)))
+
+    # ---- finish (local flags + two more exchanges) ----
+    rooted = (F[:, chains_op._DSF] & chains_op._F_ROOTED) != 0
+    dist = F[:, chains_op._DSF] & chains_op._DMASK
+    mn = F[:, chains_op._MN]
+    dmn = F[:, chains_op._DMN]
+    ptr = F[:, chains_op._PTR]
+    in_cycle = cvalid & ~rooted
+    break_node = in_cycle & (mn == gidx2)
+    start_g = jnp.where(in_cycle, mn, ptr)
+    rank = jnp.where(in_cycle, dmn, dist)
+    is_start = cvalid & (~has_pred | break_node)
+    is_end = cvalid & ((csucc < 0) | (in_cycle & (csucc == mn)))
+
+    # route (end id, weighted length) to the start's owner
+    own_e = jnp.where(is_end, gq_owner(start_g), n_dev)
+    ebl, ebv, drop2, _ = _route_to_buckets(
+        jnp.stack([start_g.astype(jnp.uint32), gidx2.astype(jnp.uint32),
+                   (rank + wlen2).astype(jnp.uint32)]),
+        is_end, own_e, n_dev, qcap, with_slots=True)
+    erl, erv = _exchange(ebl, ebv)
+    ent = erl.reshape(3, -1)
+    ev = erv.reshape(-1)
+    erow = jnp.clip(gq_local(ent[0].astype(jnp.int32)), 0, two_rc - 1)
+    edst = jnp.where(ev, erow, two_rc)
+    end_of = jnp.full((two_rc,), -1, jnp.int32).at[edst].set(
+        jnp.where(ev, ent[1].astype(jnp.int32), -1), mode="drop")
+    len_at = jnp.zeros((two_rc,), jnp.int32).at[edst].set(
+        jnp.where(ev, ent[2].astype(jnp.int32), 0), mode="drop")
+
+    mmn = jnp.concatenate([mn[run_cap:], mn[:run_cap]])
+    mirror_start = jnp.where(break_node, mmn,
+                             mirror_g(jnp.where(end_of >= 0, end_of, gidx2)))
+    keep = is_start & (end_of >= 0) & (gidx2 < mirror_start)
+
+    # dense unitig ids: device-prefix + local cumsum (deterministic)
+    local_kept = jnp.sum(keep.astype(jnp.int32))
+    kept_all = jax.lax.all_gather(local_kept, AXIS)
+    dev_off = jnp.sum(jnp.where(jnp.arange(n_dev) < me, kept_all, 0))
+    uid_at = jnp.where(keep,
+                       dev_off + jnp.cumsum(keep.astype(jnp.int32)) - 1, -1)
+    n_unitigs = jax.lax.psum(local_kept, AXIS)
+
+    # per-run uid: look up uid_at[start_g] at the start's owner
+    own_u = jnp.where(cvalid, gq_owner(start_g), n_dev)
+    ubl, ubv, drop3, uslots = _route_to_buckets(
+        start_g.astype(jnp.uint32)[None], cvalid, own_u, n_dev, qcap,
+        with_slots=True)
+    url, urv = _exchange(ubl, ubv)
+    urow = jnp.clip(gq_local(url.reshape(-1).astype(jnp.int32)),
+                    0, two_rc - 1)
+    ans_uid = jnp.where(urv.reshape(-1), jnp.take(uid_at, urow), -1)
+    uback = _respond(ans_uid.astype(jnp.uint32)[None], n_dev, qcap)
+    uid2 = jnp.where(cvalid,
+                     jnp.take(uback[0],
+                              jnp.clip(uslots, 0, n_dev * qcap - 1)
+                              ).astype(jnp.int32), -1)
+
+    dropped = (jax.lax.psum(drop1 + drop2 + drop3, AXIS) + loop_drops)
+    return (n_runs[None], hpos, epos, rlen, uid2,
+            jnp.where(uid2 >= 0, rank, 0), keep, uid_at, len_at,
+            break_node, n_unitigs, dropped, run_overflow)
 
 
-def chain_loop_fn(mesh, n_dev: int, slot_cap: int):
+def glue_fn(mesh, n_dev: int, slot_cap: int, run_cap: int, qcap: int):
     fn = shard_map(
-        partial(_chain_loop_shard, n_dev=n_dev, slot_cap=slot_cap),
+        partial(_glue_shard, n_dev=n_dev, slot_cap=slot_cap,
+                run_cap=run_cap, qcap=qcap),
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=P(AXIS, None),
+        in_specs=(P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                   P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(fn)
 
 
-def _to_global_layout(sharded, n_dev: int, slot_cap: int):
-    """Device-block-major (n_dev, 2*slot_cap, ...) shards -> global
-    strand-major layout ([+ ids 0..tot) then [- ids tot..2tot))."""
-    tot = n_dev * slot_cap
-    sh = np.asarray(sharded).reshape(n_dev, 2 * slot_cap, -1)
-    return np.concatenate([
-        sh[:, :slot_cap].reshape(tot, -1),
-        sh[:, slot_cap:].reshape(tot, -1),
-    ]).squeeze(-1)
-
-
 def distributed_compact_pos(mesh, solid_per_dev, counts_per_dev,
                             pos_per_dev, k: int):
-    """Position-ordered distributed compaction — the scalable glue.
-
-    Round 2's doubling loop all_gathered the full 16-byte-per-node state
-    table to every device every round (per-device memory O(total)); this
-    replaces it with the locality-ordered run contraction of
-    ops.runchains, distributed:
+    """Position-ordered distributed compaction — the fully device-side
+    glue (the bglue analog, gatb bcalm2/bglue_algo.cpp + unionFind.hpp,
+    example/uf/testUF.cpp:22-63 — SURVEY.md §4.4):
 
     1. host: order the merged solid set by first-occurrence key, flip to
        as-read orientation, re-shard into POSITION-CONTIGUOUS device
        slots (gid = d*slot_cap + i preserves stream adjacency),
     2. mesh: sharded junction matching (entry exchange by key hash, edges
        routed back to slot owners) — per-device memory O(N/n_dev),
-    3. host: consecutive-run detection over the succ shards (numpy scans;
-       runs break at shard boundaries, adding only O(n_dev) extra runs),
-    4. device: ONE weighted pointer jump over the contracted run graph
-       (ops.runchains.contracted_jump) — typically 20-60x smaller than
-       the node set, so the full-size doubling state never exists
-       anywhere.  Degenerate position quality only grows the contracted
-       graph (worst case = the node count, matching the old behavior);
-       output is correct for ANY positions,
-    5. host: broadcast run results with np.repeat + assembly (host memory
-       O(N), as assembly always was).
+    3. mesh (_glue_shard): per-shard consecutive-run detection (local
+       scans; shard boundaries break runs, adding O(n_dev) extra runs),
+       contracted-graph construction via request/response rid lookups,
+       a SHARDED weighted pointer jump over the contracted run graph
+       (per-round ancestor-row request/response all_to_alls — no device
+       ever holds the full table), and chain finish with exchanged
+       end/uid lookups.  Degenerate position quality only grows the
+       contracted graph (worst case = the node count); output is correct
+       for ANY positions,
+    4. host: broadcast per-run labels over run members with np.repeat +
+       assembly (host memory O(N), as assembly always was).
+
+    Exchange capacities are bounded with psum'd overflow counters; on
+    overflow (or run_cap exhaustion under degenerate positions) the host
+    retries with doubled capacities.
 
     Args:
       solid_per_dev / counts_per_dev / pos_per_dev: per-device host arrays
@@ -273,7 +437,6 @@ def distributed_compact_pos(mesh, solid_per_dev, counts_per_dev,
     Returns engine.UnitigSet.
     """
     from bcalm_tpu import engine as eng
-    from bcalm_tpu.ops import runchains
 
     n_dev = mesh.devices.size
     L = solid_per_dev[0].shape[0]
@@ -312,177 +475,136 @@ def distributed_compact_pos(mesh, solid_per_dev, counts_per_dev,
         off += n_d
 
     cap_entries = 4 * slot_cap
-    succ_sh, pred_sh, dropped = distributed_succ(
+    succ_sh, _pred_sh, dropped = distributed_succ(
         mesh, jnp.asarray(solid_global), jnp.asarray(n_local), k,
         cap_entries, slot_cap)
     if dropped:
         raise RuntimeError(f"junction exchange overflow: {dropped} entries")
 
-    succ_g = _to_global_layout(succ_sh, n_dev, slot_cap).astype(np.int64)
+    # ---- device-side glue with capacity escalation (stream-ordered
+    # positions contract >= 4x in practice; degenerate positions escalate
+    # run_cap to slot_cap, which can never overflow) ----
+    run_cap = max(16, slot_cap // 4)
+    qcap = max(64, (4 * 2 * run_cap) // n_dev)
+    n_local_d = jnp.asarray(n_local)
+    while True:
+        out = glue_fn(mesh, n_dev, slot_cap, run_cap, qcap)(
+            succ_sh, n_local_d)
+        (n_runs_sh, hpos_sh, epos_sh, rlen_sh, uid2_sh, rank2_sh, keep_sh,
+         uid_at_sh, len_at_sh, circ_sh, n_unitigs_d, g_dropped,
+         run_over) = out
+        if int(run_over) > 0:
+            run_cap = min(slot_cap, run_cap * 4)
+            qcap = max(qcap, (4 * 2 * run_cap) // n_dev)
+            continue
+        if int(g_dropped) > 0:
+            qcap *= 2
+            if qcap > 2 * run_cap * n_dev:
+                raise RuntimeError(
+                    f"glue exchange overflow persists at qcap {qcap}")
+            continue
+        break
 
-    # ---- host run detection (numpy scans over the + half) ----
-    idx = np.arange(tot)
-    vplus = (idx % slot_cap) < n_local[idx // slot_cap]
-    succ_p = succ_g[:tot]
-    nxt = vplus & (succ_p == idx + 1)
-    is_head = vplus & ~np.concatenate([[False], nxt[:-1]])
-    is_tail = vplus & ~nxt
-    heads = np.nonzero(is_head)[0]
-    tails = np.nonzero(is_tail)[0]
-    R = heads.shape[0]
-    rlen = (tails - heads + 1).astype(np.int32)
-    R_cap = eng._round_capacity(max(1, R))
+    outs_np = tuple(np.asarray(o) for o in out[:10])
+    return assemble_from_glue(outs_np, int(n_unitigs_d), solid_global,
+                              counts_global, n_local, slot_cap, run_cap,
+                              n_dev, k)
 
-    # ---- contracted successor graph (host build, numpy searchsorted) ----
-    def xlate(w):
-        wv = np.where(w >= tot, w - tot, w)
-        r_t = np.searchsorted(heads, np.clip(wv, 0, tot), side="right") - 1
-        c = np.where(w >= tot, r_t + R_cap, r_t)
-        return np.where(w >= 0, c, -1).astype(np.int32)
 
-    w_plus = succ_g[tails]                 # + run tails' successors
-    w_minus = succ_g[tot + heads]          # - run tails' successors
-    csucc = np.full((2 * R_cap,), -1, np.int32)
-    csucc[:R] = xlate(w_plus)
-    csucc[R_cap: R_cap + R] = xlate(w_minus)
-    cvalid = np.zeros((2 * R_cap,), bool)
-    cvalid[:R] = True
-    cvalid[R_cap: R_cap + R] = True
-    wlen2 = np.zeros((2 * R_cap,), np.int32)
-    wlen2[:R] = rlen
-    wlen2[R_cap: R_cap + R] = rlen
+def assemble_from_glue(outs_np, n_unitigs: int, solid_global, counts_global,
+                       n_local, slot_cap: int, run_cap: int, n_dev: int,
+                       k: int):
+    """Host assembly from gathered _glue_shard outputs: broadcast per-run
+    labels over run members (np.repeat) and spell unitigs.  Shared with
+    the multi-process smoke (tests/multihost_worker.py), which gathers
+    the sharded outputs with multihost_utils instead of np.asarray."""
+    from bcalm_tpu import engine as eng
 
-    from bcalm_tpu.ops import chains as chains_op
+    (n_runs_sh, hpos_sh, epos_sh, rlen_sh, uid2_sh, rank2_sh, keep_sh,
+     uid_at_sh, len_at_sh, circ_sh) = outs_np
+    tot = n_dev * slot_cap
+    n_runs = n_runs_sh.reshape(n_dev)
+    hpos = hpos_sh.reshape(n_dev, run_cap)
+    epos = epos_sh.reshape(n_dev, run_cap)
+    rlen = rlen_sh.reshape(n_dev, run_cap)
+    uid2 = uid2_sh.reshape(n_dev, 2 * run_cap)
+    rank2 = rank2_sh.reshape(n_dev, 2 * run_cap)
+    keep = keep_sh.reshape(n_dev, 2 * run_cap)
+    uid_at = uid_at_sh.reshape(n_dev, 2 * run_cap)
+    len_at = len_at_sh.reshape(n_dev, 2 * run_cap)
+    circ_at = circ_sh.reshape(n_dev, 2 * run_cap)
+    R_total = int(n_runs.sum())
 
-    cinfo = runchains.contracted_jump(
-        jnp.asarray(csucc), jnp.asarray(cvalid), jnp.asarray(wlen2))
-    if (2 * R_cap >= chains_op._HIER_MIN
-            and int(cinfo["n_unitigs"]) < 0):
-        cinfo = runchains.contracted_jump(
-            jnp.asarray(csucc), jnp.asarray(cvalid), jnp.asarray(wlen2),
-            variant="plain")
-    cuid = np.asarray(cinfo["uid"])
-    crank = np.asarray(cinfo["rank"])
-    n_unitigs = int(cinfo["n_unitigs"])
-    cstart = np.asarray(cinfo["start_oid"])[:max(1, n_unitigs)]
+    # global per-run views (ascending device, ascending run): heads/tails
+    # as global slot indices
+    rmask = (np.arange(run_cap)[None, :] < n_runs[:, None])
+    heads_g = (np.arange(n_dev)[:, None] * slot_cap + hpos)[rmask]
+    tails_g = (np.arange(n_dev)[:, None] * slot_cap + epos)[rmask]
+    rlen_g = rlen[rmask]
+    uid_p = uid2[:, :run_cap][rmask]
+    uid_m = uid2[:, run_cap:][rmask]
+    rank_p = rank2[:, :run_cap][rmask]
+    rank_m = rank2[:, run_cap:][rmask]
 
-    # ---- per-unitig start translated to original oriented ids ----
-    csv = np.clip(np.where(cstart >= R_cap, cstart - R_cap, cstart),
-                  0, max(0, R - 1))
-    orig_start = np.where(cstart >= R_cap, tot + tails[csv], heads[csv])
-
-    # ---- broadcast over run members (np.repeat; runs tile the valid
-    # region of each half exactly) ----
-    val_idx = np.nonzero(vplus)[0]
     uid = np.full((2 * tot,), -1, np.int32)
     rank = np.zeros((2 * tot,), np.int32)
-    uid[val_idx] = np.repeat(cuid[:R_cap][:R], rlen)
-    rank[val_idx] = (np.repeat(crank[:R_cap][:R], rlen)
-                     + (val_idx - np.repeat(heads, rlen)))
-    uid[tot + val_idx] = np.repeat(cuid[R_cap:][:R], rlen)
-    rank[tot + val_idx] = (np.repeat(crank[R_cap:][:R], rlen)
-                           + (np.repeat(tails, rlen) - val_idx))
+    members = np.repeat(heads_g, rlen_g) + (
+        np.arange(rlen_g.sum()) -
+        np.repeat(np.concatenate([[0], np.cumsum(rlen_g)[:-1]]), rlen_g))
+    uid[members] = np.repeat(uid_p, rlen_g)
+    rank[members] = np.repeat(rank_p, rlen_g) + (
+        members - np.repeat(heads_g, rlen_g))
+    uid[tot + members] = np.repeat(uid_m, rlen_g)
+    rank[tot + members] = np.repeat(rank_m, rlen_g) + (
+        np.repeat(tails_g, rlen_g) - members)
     rank = np.where(uid >= 0, rank, 0)
+
+    # per-unitig arrays in uid order (uid_at is densely numbered in
+    # device-major, row-major order — exactly this mask's order)
+    kmask = keep
+    dev_of = np.repeat(np.arange(n_dev)[:, None], 2 * run_cap, axis=1)
+    row_of = np.repeat(np.arange(2 * run_cap)[None, :], n_dev, axis=0)
+    kd = dev_of[kmask]
+    kr = row_of[kmask]
+    is_minus = kr >= run_cap
+    ri = np.where(is_minus, kr - run_cap, kr)
+    start_oid = np.where(
+        is_minus,
+        tot + kd * slot_cap + epos[kd, ri],
+        kd * slot_cap + hpos[kd, ri]).astype(np.int64)
+    length = len_at[kmask].astype(np.int32)
+    circular = circ_at[kmask]
+    # sanity: uid_at numbering must match this order
+    assert np.array_equal(uid_at[kmask], np.arange(n_unitigs))
 
     info = {
         "uid": uid,
         "rank": rank,
         "n_unitigs": n_unitigs,
-        "start_oid": orig_start,
-        "length": np.asarray(cinfo["length"])[:max(1, n_unitigs)],
-        "circular": np.asarray(cinfo["circular"])[:max(1, n_unitigs)],
+        "start_oid": start_oid,
+        "length": length,
+        "circular": circular,
     }
-    seqs, kc, abund, circular = eng.assemble_unitigs(
+    seqs, kc, abund, circular_u = eng.assemble_unitigs(
         solid_global, counts_global, info, k)
     links = eng.link_join(seqs, k)
+    n_solid = int(np.asarray(n_local).sum())
     return eng.UnitigSet(
-        k=k, seqs=seqs, kc=kc, abundances=abund, circular=circular,
+        k=k, seqs=seqs, kc=kc, abundances=abund, circular=circular_u,
         links=links, stats={
             "devices": n_dev,
-            "solid_kmers": int(n_local.sum()),
-            "glue_runs": int(R),
-            "glue_contraction": float(n_local.sum()) / max(1, R),
+            "solid_kmers": n_solid,
+            "glue_runs": int(R_total),
+            "glue_contraction": float(n_solid) / max(1, R_total),
         },
     )
 
 
 def distributed_compact(mesh, solid_per_dev, counts_per_dev, k: int):
-    """Host-driven distributed compaction from per-device solid shards.
-
-    Junction matching, edge construction AND the pointer-jumping doubling
-    loop all run sharded on the mesh; only the final chain bookkeeping
-    (16 bytes per oriented node, ~100x smaller than the input stream) is
-    gathered for host assembly.
-
-    Args:
-      solid_per_dev: list of lane-major (L, n_d) uint32 arrays (disjoint sets)
-      counts_per_dev: list of (n_d,) int32
-    Returns engine.UnitigSet.
-    """
-    from bcalm_tpu import engine as eng
-    from bcalm_tpu.ops import chains as chains_op
-
-    n_dev = mesh.devices.size
-    L = solid_per_dev[0].shape[0]
-    slot_cap = eng._round_capacity(max(1, max(s.shape[1] for s in solid_per_dev)))
-
-    solid_global = np.zeros((L, n_dev * slot_cap), np.uint32)
-    counts_global = np.zeros((n_dev * slot_cap,), np.int32)
-    n_local = np.zeros((n_dev,), np.int32)
-    for d in range(n_dev):
-        n_d = solid_per_dev[d].shape[1]
-        solid_global[:, d * slot_cap : d * slot_cap + n_d] = solid_per_dev[d]
-        counts_global[d * slot_cap : d * slot_cap + n_d] = counts_per_dev[d]
-        n_local[d] = n_d
-
-    # a device emits at most 4*slot_cap entries total, so this capacity can
-    # never overflow regardless of key-hash skew (production tuning can
-    # shrink it with an overflow-retry loop)
-    cap_entries = 4 * slot_cap
-    succ_sh, pred_sh, dropped = distributed_succ(
-        mesh, jnp.asarray(solid_global), jnp.asarray(n_local), k,
-        cap_entries, slot_cap,
-    )
-    if dropped:
-        raise RuntimeError(f"junction exchange overflow: {dropped} entries")
-
-    # sharded pointer jumping over the mesh (state stays device-resident;
-    # rounds exchange the 16-byte-per-node table via all_gather)
-    state_sh = chain_loop_fn(mesh, n_dev, slot_cap)(
-        succ_sh, pred_sh, jnp.asarray(n_local)
-    )
-
-    # reassemble global (strand-major) layout from device-block shards
-    tot = n_dev * slot_cap
-
-    def to_global(sharded):
-        sh = np.asarray(sharded).reshape(n_dev, 2 * slot_cap, -1)
-        return np.concatenate([
-            sh[:, :slot_cap].reshape(tot, -1),
-            sh[:, slot_cap:].reshape(tot, -1),
-        ]).squeeze()
-
-    succ_global = to_global(succ_sh)
-    pred_global = to_global(pred_sh)
-    state_global = np.asarray(state_sh).reshape(n_dev, 2 * slot_cap, 4)
-    state_global = np.concatenate([
-        state_global[:, :slot_cap].reshape(tot, 4),
-        state_global[:, slot_cap:].reshape(tot, 4),
-    ])
-    oid = np.arange(2 * tot)
-    slot = np.where(oid >= tot, oid - tot, oid)
-    valid = (slot % slot_cap) < n_local[slot // slot_cap]
-
-    info = jax.jit(chains_op.finish)(
-        jnp.asarray(succ_global), jnp.asarray(pred_global),
-        jnp.asarray(valid), jnp.asarray(state_global),
-    )
-    seqs, kc, abund, circular = eng.assemble_unitigs(
-        jnp.asarray(solid_global), jnp.asarray(counts_global), info, k
-    )
-    links = eng.link_join(seqs, k)
-    return eng.UnitigSet(
-        k=k, seqs=seqs, kc=kc, abundances=abund, circular=circular,
-        links=links, stats={"devices": n_dev,
-                            "solid_kmers": int(n_local.sum())},
-    )
+    """Distributed compaction without first-occurrence keys: runs the
+    position-ordered glue with constant positions — correct for any
+    positions, it just degenerates to per-node runs (worst-case
+    contraction), which doubles as a stress test of the sharded jump."""
+    zeros = [np.zeros((c.shape[0],), np.uint32) for c in counts_per_dev]
+    return distributed_compact_pos(mesh, solid_per_dev, counts_per_dev,
+                                   zeros, k)

@@ -35,19 +35,29 @@ pos = jnp.asarray(((np.arange(N, dtype=np.uint32)) << 1)
                   | rng.randint(0, 2, size=N).astype(np.uint32))
 
 
-def timeit(fn, *args, n=3):
+def _leaves(r):
+    return [x for x in jax.tree_util.tree_leaves(r)
+            if hasattr(x, "block_until_ready") and getattr(x, "ndim", 0)]
+
+
+def timeit(fn, *args, n=3, reps=10):
+    """Queue `reps` back-to-back executions, then force a host fetch of
+    one element of every output (np.asarray round-trips the tunnel, which
+    block_until_ready alone does not reliably do on this backend)."""
+    import numpy as _np
     r = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, r)
+    for x in _leaves(r):
+        _np.asarray(x[..., :1])
     best = 1e9
     for _ in range(n):
         t0 = time.time()
-        r = fn(*args)
-        jax.tree_util.tree_map(
-            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-            else x, r)
-        best = min(best, time.time() - t0)
+        outs = [fn(*args) for _ in range(reps)]
+        for x in _leaves(outs[-1]):
+            _np.asarray(x[..., :1])
+        for r2 in outs:
+            for x in _leaves(r2):
+                _np.asarray(x[..., :1])
+        best = min(best, (time.time() - t0) / reps)
     return best
 
 
@@ -113,15 +123,68 @@ def count_pospayload(lanes, valid, pos):
     return unique, counts, n_unique, minpos
 
 
+# 1-operand sort cost (the head-position compaction sort)
+one = cols[0]
+f1 = jax.jit(partial(sort_tpu.sort_ops, num_keys=1))
+t = timeit(f1, [one])
+print(f"sort 1k+0p: {t*1e3:7.1f} ms")
+
+
+@jax.jit
+def count_rowgather(lanes, valid, pos):
+    """sort1 (pos as last key) + head-position 1-op sort + ONE packed
+    row-gather compaction instead of the 5-operand compaction sort."""
+    L, n = lanes.shape
+    folded = count_op.fold_sentinel(lanes, valid)
+    out = sort_tpu.sort_ops([folded[j] for j in range(L)] + [pos],
+                            num_keys=L + 1)
+    s_lanes = jnp.stack(out[:L], axis=0)
+    s_pos = out[L]
+    s_valid = ~jnp.all(s_lanes == count_op.SENTINEL, axis=0)
+    starts = count_op.row_starts(s_lanes, s_valid)
+    w = s_valid.astype(jnp.int32)
+    cumw = jnp.cumsum(w)
+    excl = (cumw - w).astype(jnp.uint32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # compaction: sort head positions (1 operand), then one row-gather
+    hsel = jnp.sort(jnp.where(starts, idx.astype(jnp.uint32),
+                              count_op.SENTINEL))
+    hidx = jnp.minimum(hsel, np.uint32(n - 1)).astype(jnp.int32)
+    rows = jnp.stack([s_lanes[j] for j in range(L)] + [excl, s_pos],
+                     axis=1)                          # (n, L+2)
+    g = jnp.take(rows, hidx, axis=0)                  # ONE row gather
+    n_unique = jnp.sum(starts.astype(jnp.int32))
+    valid_g = idx < n_unique
+    unique = jnp.where(valid_g[None], jnp.transpose(g[:, :L]), 0)
+    ex = g[:, L].astype(jnp.int32)
+    nxt = jnp.concatenate([ex[1:], jnp.zeros((1,), jnp.int32)])
+    total = cumw[n - 1]
+    cnt = jnp.where(idx == n_unique - 1, total - ex, nxt - ex)
+    counts = jnp.where(valid_g, cnt, 0)
+    minpos = jnp.where(valid_g, g[:, L + 1], count_op.SENTINEL)
+    return unique, counts, n_unique, minpos
+
+
 t = timeit(count_nopos, lanes, valid)
 print(f"count nopos:      {t*1e3:7.1f} ms  ({N/t/1e6:.1f}M occ/s)")
 t = timeit(count_poskey, lanes, valid, pos)
 print(f"count poskey:     {t*1e3:7.1f} ms  ({N/t/1e6:.1f}M occ/s)")
 t = timeit(count_pospayload, lanes, valid, pos)
 print(f"count pospayload: {t*1e3:7.1f} ms  ({N/t/1e6:.1f}M occ/s)")
+t = timeit(count_rowgather, lanes, valid, pos)
+print(f"count rowgather:  {t*1e3:7.1f} ms  ({N/t/1e6:.1f}M occ/s)")
 
 # equivalence check
 ua, ca, na, pa = count_poskey(lanes, valid, pos)
+for variant in (count_pospayload, count_rowgather):
+    ub, cb, nb, pb = variant(lanes, valid, pos)
+    na2, nb2 = int(na), int(nb)
+    assert na2 == nb2
+    assert np.array_equal(np.asarray(ua)[:, :na2], np.asarray(ub)[:, :nb2])
+    assert np.array_equal(np.asarray(ca)[:na2], np.asarray(cb)[:nb2])
+    assert np.array_equal(np.asarray(pa)[:na2], np.asarray(pb)[:nb2])
+print("all variants == poskey outputs OK")
+import sys; sys.exit(0)
 ub, cb, nb, pb = count_pospayload(lanes, valid, pos)
 na, nb = int(na), int(nb)
 assert na == nb

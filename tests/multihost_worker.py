@@ -17,6 +17,10 @@ devices per process):
    solid set sharded over the global mesh, entry/edge all_to_alls crossing
    the process boundary; the reassembled edge set is checked against the
    single-device ops.junctions result.
+3. the DEVICE-SIDE distributed glue (distcompact.glue_fn): run detection,
+   contracted-graph request/response exchanges, the sharded weighted
+   pointer jump, and chain finish — all across the process boundary —
+   with unitig content equality against the single-device engine.
 
 Env: MH_NPROCS, MH_PID, MH_PORT.
 Prints "MULTIHOST_OK <n_distinct> <n_edges>" on success.
@@ -146,7 +150,10 @@ def main():
 
     succ_all = np.asarray(
         multihost_utils.process_allgather(succ_sh, tiled=True))
-    succ_g = distcompact._to_global_layout(succ_all, n_global, slot_cap)
+    # device-block shards (n_global, 2*slot_cap) -> global strand-major
+    sh2 = succ_all.reshape(n_global, 2 * slot_cap)
+    succ_g = np.concatenate([
+        sh2[:, :slot_cap].reshape(tot), sh2[:, slot_cap:].reshape(tot)])
 
     # oracle: single-device junctions on the DENSE solid set, translated
     # into the slot layout (padding slots must never look like poly-A
@@ -180,8 +187,36 @@ def main():
     assert (succ_g == exp).all(), "sharded junction edges != single-device"
     n_edges = int((succ_g >= 0).sum())
 
+    # ---- phase 3: DISTRIBUTED GLUE across the process boundary — the
+    # full device-side compaction (run detection, contracted-graph
+    # request/response exchanges, sharded weighted pointer jump, finish)
+    # with content equality against the single-device engine ----
+    run_cap = slot_cap            # cannot overflow (runs <= slots)
+    qcap = 2 * run_cap            # cannot overflow (<= 2*run_cap queries)
+    counts_global = np.zeros((tot,), np.int32)
+    off = 0
+    for d in range(n_global):
+        n_d = n_local_arr[d]
+        counts_global[d * slot_cap: d * slot_cap + n_d] = \
+            scounts[off: off + n_d]
+        off += n_d
+    gfn = distcompact.glue_fn(mesh, n_global, slot_cap, run_cap, qcap)
+    with mesh:
+        gout = gfn(succ_sh, g_nloc)
+    assert int(gout[12]) == 0 and int(gout[11]) == 0
+    outs_np = tuple(
+        np.asarray(multihost_utils.process_allgather(o, tiled=True))
+        for o in gout[:10])
+    us = distcompact.assemble_from_glue(
+        outs_np, int(gout[10]), solid_global, counts_global, n_local_arr,
+        slot_cap, run_cap, n_global, k)
+    expect = engine.compact_from_counts(solid, scounts, cfg)
+    assert (brute.canonical_unitig_set(us.seqs)
+            == brute.canonical_unitig_set(expect.seqs)), \
+        "distributed glue unitigs != single-device"
+
     if pid == 0:
-        print(f"MULTIHOST_OK {total} {n_edges}", flush=True)
+        print(f"MULTIHOST_OK {total} {n_edges} {len(us.seqs)}", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,10 +1,12 @@
-"""Multi-host (DCN-axis) smoke: the mesh counting step across 2 processes.
+"""Multi-host (DCN-axis) smoke: counting, junction exchange AND the
+device-side distributed glue across 2 processes.
 
 Spawns two fresh python processes that each own 4 virtual CPU devices,
 form one 8-device global mesh via jax.distributed, and run the production
-shard_map counting round (pipeline.distributed_count_fn) with collectives
-crossing the process boundary — the evidence SURVEY.md §8 step 7 asks for
-(the reference is single-node; its only transport is the filesystem).
+shard_map rounds (superkmer counting, junction exchange, distributed
+compaction) with collectives crossing the process boundary — the evidence
+SURVEY.md §8 step 7 asks for (the reference is single-node; its only
+transport is the filesystem).
 """
 
 import os

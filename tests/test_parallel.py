@@ -96,3 +96,20 @@ def test_biased_prefix_repartition(mesh):
     expect = engine.build_from_seqs(reads, cfg)
     assert (brute.content_unitig_set(us.seqs, us.circular, k)
             == brute.content_unitig_set(expect.seqs, expect.circular, k))
+
+
+def test_overflow_retry_uses_precompiled_ladder(mesh):
+    """A deliberately undersized exchange capacity must overflow, retry
+    with the background-compiled next rung (no blocking mid-run compile),
+    and still produce oracle-exact output (round-3 VERDICT weak #6)."""
+    k = 15
+    reads = make_reads(17, k, n=200, glen=600)
+    cfg = engine.EngineConfig(k=k, abundance_min=1, block_reads=64,
+                              max_len=128)
+    mcfg = pipeline.MinimizerConfig(cap_per_dest=2)  # guaranteed overflow
+    got = pipeline.distributed_build(reads, cfg, mesh, mcfg)
+    assert got.stats["exchange_cap_retries"] >= 1
+    assert got.stats["exchange_ladder_hits"] >= 1
+    expect = engine.build_from_seqs(reads, cfg)
+    assert brute.canonical_unitig_set(got.seqs) == \
+        brute.canonical_unitig_set(expect.seqs)

@@ -176,6 +176,35 @@ def _extract_fold(words, lengths, k, slot_base=np.uint32(0)):
     return folded, jnp.sum(valid.astype(jnp.int32))
 
 
+def block_slots(words_shape, k: int) -> int:
+    """Folded slots _extract_fold emits for a (B, W) block (host-side
+    mirror of its P_eff slicing, so callers can track chunk fill without
+    a device round trip)."""
+    B, W = words_shape
+    return B * max(1, W * packing.BASES_PER_WORD - (k - 1))
+
+
+@_partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
+def _extract_insert(buf, words, lengths, k, slot_base, offset):
+    """Fused per-block frontend: extract + fold + chunk insert in ONE
+    dispatch (the two-call extract/insert pair cost a second host->device
+    dispatch round trip per block on the tunneled backend).  The chunk
+    buffer is DONATED: XLA updates it in place."""
+    canon, valid, use_rc = extract_op.extract_canonical(
+        words, lengths, k, with_strand=True)
+    P_eff = max(1, canon.shape[2] - (k - 1))
+    canon = canon[:, :, :P_eff]
+    valid = valid[:, :P_eff]
+    use_rc = use_rc[:, :P_eff]
+    L = canon.shape[0]
+    F = canon.shape[1] * P_eff
+    slot = slot_base + jnp.arange(F, dtype=jnp.uint32)
+    pos = (slot << np.uint32(1)) | use_rc.reshape(-1).astype(jnp.uint32)
+    rows = jnp.concatenate([canon.reshape(L, -1), pos[None]], axis=0)
+    folded = count_op.fold_sentinel(rows, valid.reshape(-1))
+    return jax.lax.dynamic_update_slice(buf, folded, (0, offset))
+
+
 def _lanes_to_records(lanes_np: np.ndarray) -> np.ndarray:
     """Lane-major (L, N) uint32 -> (N,) structured array whose record
     compare is the lexicographic k-mer order (numpy compares structured
@@ -634,12 +663,7 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
         for block in block_iter:
             if first_pass and cache is not None:
                 cache.add(block.words, block.lengths)
-            folded, _ = _extract_fold(
-                jnp.asarray(block.words), jnp.asarray(block.lengths), cfg.k,
-                np.uint32(slot_base & 0x7FFFFFFF),
-            )
-            F = folded.shape[1]
-            slot_base += F
+            F = block_slots(block.words.shape, cfg.k)
             if chunk_buf is None or F != block_F:
                 if chunk_buf is not None:  # geometry change: drain buffer
                     flush()
@@ -653,8 +677,12 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
                 n_reads += int((lens > 0).sum())
                 n_bases += int(lens.sum())
                 n_occ += int(np.maximum(0, lens - cfg.k + 1).sum())
-            chunk_buf = _chunk_insert(chunk_buf, folded,
-                                      jnp.asarray(chunk_fill, jnp.int32))
+            chunk_buf = _extract_insert(
+                chunk_buf, jnp.asarray(block.words),
+                jnp.asarray(block.lengths), cfg.k,
+                np.uint32(slot_base & 0x7FFFFFFF),
+                jnp.asarray(chunk_fill, jnp.int32))
+            slot_base += F
             chunk_fill += F
             if chunk_fill >= chunk_cap:
                 flush()

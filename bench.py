@@ -358,8 +358,11 @@ def main():
         # C. elegans-class scale (BASELINE.md config): 100 Mbp x30, k=51
         # through the CLI.  ~3G occurrences; opt-in because generation +
         # run exceed the default driver budget
+        # -max-memory 8000 -> ~200M resident slots: the ~100M distinct
+        # k-mers stay device-resident in ONE pass with merge headroom
         run_config("celegans", lambda: cli_config(
-            "celegans", 100_000_000, 30, 150, 51, seed=7))
+            "celegans", 100_000_000, 30, 150, 51, seed=7,
+            extra_args=("-max-memory", "8000")))
     if skipped:
         out["skipped_over_budget"] = skipped
 

@@ -215,6 +215,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     skip_bglue = props.get_bool("-skip-bglue")
 
     solid = counts = minpos = histo = None
+    built_us = None
     stats = {}
     if skip_bcalm:
         # EXPLICIT resume only (scripts/pufferize.py:143 semantics): a
@@ -371,65 +372,71 @@ def main(argv: Optional[List[str]] = None) -> int:
                 stats["distinct_kmers"] = int(lanes.shape[1])
                 stats["solid_kmers"] = int(solid.shape[1])
             else:
-                solid, counts, minpos, histo, stats = engine.count_and_filter(
-                    counted_blocks(), cfg)
-                if auto_amin:
-                    cfg.abundance_min = engine.auto_abundance_min(
-                        histo, props.get_int("-abundance-min-threshold"))
-                    keep = ((counts >= cfg.abundance_min)
-                            & (counts <= cfg.abundance_max))
-                    solid, counts = solid[:, keep], counts[keep]
-                    minpos = minpos[keep]
-                    stats["solid_kmers"] = int(solid.shape[1])
+                # device-resident fast path: counting, solidity filter,
+                # compaction and the store checkpoint fetch all stay on
+                # device (no solid-table host round trip between stages)
+                built_us = engine.build_from_blocks(
+                    counted_blocks(), cfg, store=store,
+                    auto_amin_cap=(props.get_int("-abundance-min-threshold")
+                                   if auto_amin else None),
+                    only_uf=props.get_bool("-only-uf"),
+                    uf_stats=props.get_bool("-uf-stats"))
             progress.done()
             if auto_amin and verbose:
                 print(f"auto abundance-min = {cfg.abundance_min}")
-        with ti.timer("store"):
-            store.write_counts(
-                solid, counts, k, histogram=histo, minpos=minpos,
-                config={"abundance_min": cfg.abundance_min,
-                        "abundance_max": cfg.abundance_max,
-                        "solidity_kind": solidity_kind})
+        if solid is not None:
+            with ti.timer("store"):
+                store.write_counts(
+                    solid, counts, k, histogram=histo, minpos=minpos,
+                    config={"abundance_min": cfg.abundance_min,
+                            "abundance_max": cfg.abundance_max,
+                            "solidity_kind": solidity_kind})
 
+    only_uf = props.get_bool("-only-uf")
     solid_out = props.get_str("-solid-kmers-out")
     if solid_out:
         from bcalm_tpu.models import lanes as ln
+        if solid is None:   # device-resident path: read the checkpoint
+            solid, counts, _mp = store.read_counts(k)
         with open(solid_out, "w") as f:
             for i in range(solid.shape[1]):
                 f.write(f"{ln.int_to_string(ln.lanes_to_int(solid[:, i]), k)}\t"
                         f"{int(counts[i])}\n")
 
-    only_uf = props.get_bool("-only-uf")
-    chain_info = None
-    if skip_bglue:
-        # resume from the chain-decomposition checkpoint (written by
-        # -only-uf) — the glue-file analog of the reference's staged
-        # pipeline (unitigs.fa.glue* files, test/simple_test.sh:6)
-        if not (skip_bcalm and store.has_chains()):
-            print("-skip-bglue: no chain checkpoint in store (run with "
-                  "-only-uf first, resume with -skip-bcalm -skip-bglue)",
-                  file=sys.stderr)
-            return 1
-        try:
-            chain_info = store.read_chains(k, int(solid.shape[1]))
-        except ValueError as e:
-            print(f"-skip-bglue: {e}", file=sys.stderr)
-            return 1
-        if verbose:
-            print("reusing stored chain decomposition (skip-bglue)")
-    with ti.timer("compact"):
-        try:
-            us = engine.compact_from_counts(
-                solid, counts, cfg, only_uf=only_uf,
-                uf_stats=props.get_bool("-uf-stats"),
-                chain_info=chain_info, minpos_np=minpos)
-        except ValueError as e:
-            print(f"-skip-bglue: {e}", file=sys.stderr)
-            return 1
-    us.stats.update(stats)
-    us.histogram = histo
+    if built_us is not None:
+        us = built_us
+    else:
+        chain_info = None
+        if skip_bglue:
+            # resume from the chain-decomposition checkpoint (written by
+            # -only-uf) — the glue-file analog of the reference's staged
+            # pipeline (unitigs.fa.glue* files, test/simple_test.sh:6)
+            if not (skip_bcalm and store.has_chains()):
+                print("-skip-bglue: no chain checkpoint in store (run with "
+                      "-only-uf first, resume with -skip-bcalm -skip-bglue)",
+                      file=sys.stderr)
+                return 1
+            try:
+                chain_info = store.read_chains(k, int(solid.shape[1]))
+            except ValueError as e:
+                print(f"-skip-bglue: {e}", file=sys.stderr)
+                return 1
+            if verbose:
+                print("reusing stored chain decomposition (skip-bglue)")
+        with ti.timer("compact"):
+            try:
+                us = engine.compact_from_counts(
+                    solid, counts, cfg, only_uf=only_uf,
+                    uf_stats=props.get_bool("-uf-stats"),
+                    chain_info=chain_info, minpos_np=minpos)
+            except ValueError as e:
+                print(f"-skip-bglue: {e}", file=sys.stderr)
+                return 1
+        us.stats.update(stats)
+        us.histogram = histo
     if only_uf and us.chain_info is not None:
-        store.write_chains(us.chain_info, k, int(solid.shape[1]))
+        store.write_chains(us.chain_info, k,
+                           int(us.stats.get("solid_kmers", 0)))
 
     if not only_uf:
         with ti.timer("write"):

@@ -65,6 +65,10 @@ class EngineConfig:
     # the staging file (0 = unbounded).
     spill_dir: Optional[str] = None
     max_disk_mb: int = 0
+    # caller's estimate of total k-mer occurrences (bank estimator / file
+    # sizes); sharpens the rarefaction-based partition-count choice on
+    # pass 1 (0 = unknown: assume twice the stream seen so far)
+    est_total_occ: int = 0
 
 
 @dataclass
@@ -349,14 +353,20 @@ def _count_chunk_ranged(body, lo, hi):
     tunneled backend).  body is (L+1, N): L key lanes + the pos row.
     The sentinel key is all-ones which is >= any hi, so already-invalid
     slots stay folded; the full range (lo=0, hi=all-ones) is an identity
-    fold, so the resident fast path shares this program."""
+    fold, so the resident fast path shares this program.
+
+    Returns (unique, counts, n_and_occ, minpos) with n_and_occ a stacked
+    (2,) int32 of [n_unique, in-range occurrence count] — one host fetch
+    serves both the capacity trim and the rarefaction estimator."""
     L = body.shape[0] - 1
     keys = body[:-1]
     keep = ~_lex_lt(keys, lo) & _lex_lt(keys, hi)
     body = jnp.where(keep[None], body, count_op.SENTINEL)
     valid = ~jnp.all(body[:L] == count_op.SENTINEL, axis=0)
-    return count_op.count_canonical(body[:L], valid, pos=body[L],
-                                    with_pos=True)
+    unique, counts, n_unique, minpos = count_op.count_canonical(
+        body[:L], valid, pos=body[L], with_pos=True)
+    occ = jnp.sum(valid.astype(jnp.int32))
+    return unique, counts, jnp.stack([n_unique, occ]), minpos
 
 
 @jax.jit
@@ -566,58 +576,128 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
     refilter_pending = False   # a split happened since the last settle:
     # the in-flight pending chunk was counted under the OLD hi and must be
     # re-filtered when settled (else its upper-half keys double-count)
+    t_seen = 0        # in-range occurrences settled this pass
+    pass_occ_seen = 0  # ALL occurrences streamed so far this pass
+    total_occ_known = 0  # exact stream total, known after pass 1
+
+    def resident_n():
+        return sum(r[3] for r in partials)
+
+    def force_merge_all():
+        """Merge ALL resident runs into one (exact distinct-so-far: the
+        rarefaction estimate must not see cross-run duplicates, and the
+        quantile pivots want the full key sample)."""
+        nonlocal resident_slots
+        while len(partials) > 1:
+            b = partials.pop()
+            a = partials.pop()
+            resident_slots -= a[0].shape[1] + b[0].shape[1]
+            merged = merge_two(a, b)
+            partials.append(merged + (max(a[4], b[4]) + 1,))
+            resident_slots += merged[0].shape[1]
 
     def split_current_range():
-        """Shrink the current key range while residency exceeds budget:
-        pick the median key of the largest resident run as the new
-        exclusive hi, drop resident entries past it, and queue the upper
-        half for a later pass (the adaptive-partition analog of DSK's
-        ConfigurationAlgorithm pass sizing)."""
+        """Partition the current key range when residency exceeds budget.
+
+        The partition count comes from a saturation-model rarefaction
+        estimate, not from reactive halving (which over-split 12x on the
+        bigk51 bench — every new chunk re-triggered a median split):
+        merge the residents (exact in-range distinct m at t in-range
+        occurrences seen), solve m = G*(1 - exp(-t/G)) for the effective
+        key-universe size G — exact for uniform sampling of a genome,
+        and degrading to D ~ T for duplicate-free streams — project the
+        final distinct count D = G*(1 - exp(-T/G)) at the estimated
+        total in-range load T, choose P = ceil(D*slack/budget), and
+        split ONCE at P-1 equal-distinct quantile keys of the merged run
+        (the adaptive analog of DSK's sampling-based
+        ConfigurationAlgorithm pass sizing).  Re-runs reactively if the
+        kept range still overflows later."""
         nonlocal hi_np, hi_d, resident_slots, did_split, refilter_pending
         budget = max(cfg.resident_kmers, 2 * (chunk_cap or 0))
-        while resident_slots > budget and partials:
-            biggest = max(partials, key=lambda r: r[3])
-            u, _, _, n, _ = biggest
-            split = None
-            idx = n // 2
-            while idx < n:
-                cand = np.asarray(u[:, idx])
-                if tuple(cand) > tuple(lo_np) and tuple(cand) < tuple(hi_np):
-                    split = cand
-                    break
-                idx += max(1, (n - idx) // 2)
-            if split is None:
-                # every resident key equals lo: a single distinct key
-                # cannot exceed the budget; nothing to split
-                return
-            did_split = True
-            refilter_pending = True
-            range_stack.append((split.copy(), hi_np.copy()))
-            hi_np = split.copy()
-            hi_d = jnp.asarray(hi_np)
-            new_partials = []
-            resident_slots = 0
-            for (ru, rc, rp, rn, rgen) in partials:
-                n_new = int(_count_lt(ru, hi_d))
-                run = trim(ru, rc, rp, n_new)
-                new_partials.append(run + (rgen,))
-                resident_slots += run[0].shape[1]
-            partials[:] = new_partials
+        if resident_n() <= budget or not partials:
+            return
+        force_merge_all()
+        if resident_n() <= budget:
+            # the overflow was cross-run duplicate inflation; the merge
+            # collapsed it — no split needed
+            return
+        # ---- project the range's final distinct count ----
+        m2 = resident_n()
+        t2 = max(1, t_seen)
+        total_est = (total_occ_known or cfg.est_total_occ
+                     or 2 * pass_occ_seen)
+        total_est = max(total_est, pass_occ_seen)
+        # in-range share of the remaining stream matches the share seen
+        t_final = t2 * (total_est / max(1, pass_occ_seen))
+        if m2 >= 0.98 * t2:
+            d_est = t_final          # duplicate-free so far: D ~ T
+        else:
+            # solve (1 - e^-x)/x = m/t for x = t/G (decreasing in x)
+            ratio = m2 / t2
+            lo_x, hi_x = 1e-6, 50.0
+            for _ in range(60):
+                mid = 0.5 * (lo_x + hi_x)
+                if (1.0 - np.exp(-mid)) / mid > ratio:
+                    lo_x = mid
+                else:
+                    hi_x = mid
+            G = t2 / (0.5 * (lo_x + hi_x))
+            d_est = G * (1.0 - np.exp(-t_final / G))
+        P = int(np.ceil(d_est * 1.15 / budget))
+        if P <= 1 and resident_n() <= budget:
+            return    # projection says the range fits after all
+        P = max(2, min(256, P))
+        # ---- quantile pivots from the (single) merged resident run ----
+        biggest = max(partials, key=lambda r: r[3])
+        u, _, _, n, _ = biggest
+        qidx = np.unique(np.asarray(
+            [(j * n) // P for j in range(1, P)], np.int64))
+        qidx = qidx[(qidx > 0) & (qidx < n)]
+        if qidx.size == 0:
+            qidx = np.asarray([n // 2], np.int64)
+        pivots_np = np.asarray(u[:, jnp.asarray(qidx)])   # (L, P-1) fetch
+        pivots = []
+        prev = tuple(lo_np)
+        for j in range(pivots_np.shape[1]):
+            cand = pivots_np[:, j]
+            if tuple(cand) > prev and tuple(cand) < tuple(hi_np):
+                pivots.append(cand.copy())
+                prev = tuple(cand)
+        if not pivots:
+            # every resident key equals lo: a single distinct key cannot
+            # exceed the budget; nothing to split
+            return
+        did_split = True
+        refilter_pending = True
+        bounds = pivots + [hi_np.copy()]
+        for i in reversed(range(len(pivots))):
+            range_stack.append((bounds[i], bounds[i + 1]))
+        hi_np = pivots[0].copy()
+        hi_d = jnp.asarray(hi_np)
+        new_partials = []
+        resident_slots = 0
+        for (ru, rc, rp, rn, rgen) in partials:
+            n_new = int(_count_lt(ru, hi_d))
+            run = trim(ru, rc, rp, n_new)
+            new_partials.append(run + (rgen,))
+            resident_slots += run[0].shape[1]
+        partials[:] = new_partials
 
     def settle_pending():
         """Materialize the PREVIOUS chunk's distinct count and trim it.
 
-        Lagged by one chunk so the n_unique fetch (a host<->device sync)
+        Lagged by one chunk so the scalar fetch (a host<->device sync)
         overlaps with the next chunk's queued device work instead of
         stalling the pipeline after every chunk."""
-        nonlocal pending, resident_slots, refilter_pending
+        nonlocal pending, resident_slots, refilter_pending, t_seen
         if pending is not None:
-            unique, counts, minpos, n_dev = pending
+            unique, counts, minpos, nw_dev = pending
+            nw = np.asarray(nw_dev)
+            n_eff = int(nw[0])
+            t_seen += int(nw[1])
             if refilter_pending:
-                n_eff = int(_settle_n(unique, n_dev, hi_d))
+                n_eff = int(_settle_n(unique, nw[0], hi_d))
                 refilter_pending = False
-            else:
-                n_eff = int(n_dev)
             run = trim(unique, counts, minpos, n_eff)
             partials.append(run + (0,))
             resident_slots += run[0].shape[1]
@@ -639,10 +719,10 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
         # partially-filled chunks (stream tail) count at the smallest
         # power-of-two capacity covering the fill — bounded shape classes
         body_cap = min(chunk_cap, _round_capacity(chunk_fill))
-        unique, counts, n_unique, minpos = _count_chunk_ranged(
+        unique, counts, nw, minpos = _count_chunk_ranged(
             chunk_buf[:, :body_cap], lo_d, hi_d)
         settle_pending()
-        pending = (unique, counts, minpos, n_unique)
+        pending = (unique, counts, minpos, nw)
         leftover = max(0, chunk_fill - chunk_cap)
         tail = chunk_buf[:, chunk_cap:]
         chunk_buf = fresh_buf()
@@ -655,9 +735,11 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
 
     def run_pass(block_iter, first_pass: bool):
         nonlocal chunk_buf, chunk_cap, block_F, chunk_fill, slot_base
-        nonlocal n_reads, n_bases, n_occ
+        nonlocal n_reads, n_bases, n_occ, t_seen, pass_occ_seen
         slot_base = 0
         chunk_fill = 0
+        t_seen = 0
+        pass_occ_seen = 0
         if chunk_buf is not None:
             chunk_buf = fresh_buf()
         for block in block_iter:
@@ -672,8 +754,9 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
                 chunk_cap = _round_capacity(max(cfg.chunk_kmers, F))
                 chunk_buf = fresh_buf()
                 chunk_fill = 0
+            lens = block.lengths.astype(np.int64)
+            pass_occ_seen += int(np.maximum(0, lens - cfg.k + 1).sum())
             if first_pass:
-                lens = block.lengths.astype(np.int64)
                 n_reads += int((lens > 0).sum())
                 n_bases += int(lens.sum())
                 n_occ += int(np.maximum(0, lens - cfg.k + 1).sum())
@@ -693,8 +776,8 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
         (unique, counts, minpos, n_dev_or_int) — n left un-synced (device
         scalar) where the caller doesn't need it on host."""
         if pending is not None and not partials:
-            unique, counts, minpos, n_dev = pending
-            return unique, counts, minpos, n_dev
+            unique, counts, minpos, nw_dev = pending
+            return unique, counts, minpos, nw_dev[0]
         settle_pending()
         if not partials:
             empty = jnp.zeros((L, 16), dtype=jnp.uint32)
@@ -784,6 +867,7 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
             return unique, counts, minpos, n_dev, stats
         unique, counts, minpos, n_dev = final_range_run()
         n = int(n_dev)
+        total_occ_known = n_occ   # pass 1 done: exact stream total known
         # materialize the PREVIOUS range's fetch now: its transfer had a
         # whole pass to complete, and freeing it bounds device memory to
         # two in-flight fetch buffers
@@ -1125,25 +1209,52 @@ def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
 
 
 def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig,
-                      reread=None) -> UnitigSet:
+                      reread=None, store=None, auto_amin_cap=None,
+                      only_uf: bool = False,
+                      uf_stats: bool = False) -> UnitigSet:
     """Device-resident end-to-end build (no host round-trip of the solid
-    set between counting and compaction).
+    set between counting and compaction — the CLI previously staged the
+    solid table through count_and_filter, ~2x its bytes over the ~30 MB/s
+    tunnel link on the E. coli-class e2e config).
+
+    store: optional storage.Store — the filtered solid counts + histogram
+    + first-occurrence keys persist for `-skip-bcalm` resume; the
+    device->host fetch is ASYNC and overlaps the compaction dispatch.
+    auto_amin_cap: resolve `-abundance-min auto` from the histogram
+    (cfg.abundance_min updated in place).  only_uf / uf_stats mirror the
+    reference glue debug flags (src/bcalm_1.cpp:26-27).
 
     On the out-of-core path (multi-pass counting, host-resident distinct
     table) the histogram + solidity filter run in numpy and compaction
     restarts from the (much smaller) solid set."""
     unique, counts, minpos, n_unique, stats = count_blocks(
         blocks, cfg, reread=reread)
+
+    def write_store(solid_np, counts_np, minpos_np, histo):
+        if store is not None:
+            store.write_counts(
+                solid_np, counts_np, cfg.k, histogram=histo,
+                minpos=minpos_np,
+                config={"abundance_min": cfg.abundance_min,
+                        "abundance_max": cfg.abundance_max,
+                        "solidity_kind": "sum"})
+
     if isinstance(unique, np.ndarray):
         counts_np = np.asarray(counts)
         binned = np.minimum(counts_np, cfg.histo_max)
         histo = np.bincount(binned, minlength=cfg.histo_max + 1).astype(
             np.int32)
+        if auto_amin_cap is not None:
+            cfg.abundance_min = auto_abundance_min(histo, auto_amin_cap)
         keep = ((counts_np >= cfg.abundance_min)
                 & (counts_np <= cfg.abundance_max))
         stats["distinct_kmers"] = int(counts_np.shape[0])
+        solid_np = unique[:, keep]
+        write_store(solid_np, counts_np[keep],
+                    None if minpos is None else minpos[keep], histo)
         us = compact_from_counts(
-            unique[:, keep], counts_np[keep], cfg,
+            solid_np, counts_np[keep], cfg, only_uf=only_uf,
+            uf_stats=uf_stats,
             minpos_np=None if minpos is None else minpos[keep])
         us.histogram = histo
         us.stats.update(stats)
@@ -1158,6 +1269,8 @@ def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig,
         count_op.abundance_histogram(counts, jnp.asarray(n_u),
                                      histo_max=cfg.histo_max)
     )
+    if auto_amin_cap is not None:
+        cfg.abundance_min = auto_abundance_min(histo, auto_amin_cap)
     solid, solid_counts, solid_pos, n_solid_dev = (
         count_op.filter_abundance_pos(
             unique, counts, minpos, jnp.asarray(n_u),
@@ -1166,14 +1279,41 @@ def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig,
     stats["distinct_kmers"] = n_u
     stats["solid_kmers"] = n_solid
     if n_solid == 0:
+        us = UnitigSet(
+            k=cfg.k, seqs=[], kc=np.zeros(0, np.int64), abundances=[],
+            circular=np.zeros(0, bool), links=[], histogram=histo,
+            stats=stats,
+        )
+        L = ln.num_lanes(cfg.k)
+        write_store(np.zeros((L, 0), np.uint32), np.zeros((0,), np.int32),
+                    np.zeros((0,), np.uint32), histo)
+        return us
+    cap2 = _round_capacity(n_solid)
+    solid_d = solid[:, :cap2]
+    counts_d = solid_counts[:cap2]
+    pos_d = solid_pos[:cap2]
+    fetch_buf = None
+    if store is not None:
+        # checkpoint fetch rides behind the compaction dispatch
+        capf = _fetch_capacity(n_solid)
+        fetch_buf = _pack_fetch(solid_d, counts_d, pos_d, capf)
+        fetch_buf.copy_to_host_async()
+    solid_r, counts_r, succ, info = compact_solid_pos(
+        solid_d, counts_d, pos_d, n_solid, cfg.k)
+    if fetch_buf is not None:
+        arr = np.asarray(fetch_buf)
+        L = ln.num_lanes(cfg.k)
+        write_store(arr[:L, :n_solid], arr[L, :n_solid].astype(np.int32),
+                    arr[L + 1, :n_solid], histo)
+    if uf_stats or only_uf:
+        stats.update(chain_stats(info, n_solid))
+    if only_uf:
         return UnitigSet(
             k=cfg.k, seqs=[], kc=np.zeros(0, np.int64), abundances=[],
-            circular=np.zeros(0, bool), links=[], histogram=histo, stats=stats,
+            circular=np.zeros(0, bool), links=[], histogram=histo,
+            stats=stats,
+            chain_info={key: np.asarray(val) for key, val in info.items()},
         )
-    cap2 = _round_capacity(n_solid)
-    solid_r, counts_r, succ, info = compact_solid_pos(
-        solid[:, :cap2], solid_counts[:cap2], solid_pos[:cap2],
-        n_solid, cfg.k)
     seqs, kc, abund, circular = assemble_unitigs(solid_r, counts_r, info,
                                                  cfg.k)
     links = link_join(seqs, cfg.k)

@@ -110,6 +110,7 @@ def device_config(name, k, genome_len, coverage, read_len, chunk,
     words = pack_uniform(reads)
     blocks = make_blocks(words, read_len, cfg.block_reads)
     n_occ = int(reads.shape[0] * (read_len - k + 1))
+    cfg.est_total_occ = n_occ
     log(f"[{name}] {reads.shape[0]} reads, {len(blocks)} blocks, "
         f"{n_occ} k-mer occ, k={k}")
 

@@ -72,7 +72,10 @@ def test_spill_and_resident_results_identical():
 
 
 def test_ooc_end_to_end_build_matches_in_memory():
-    reads = _reads(7, 2000, 55, 3)
+    # ~3.5k distinct k-mers vs the 2048-slot budget floor (2 x chunk_cap):
+    # genuinely beyond-budget so multi-pass engages even after transient
+    # duplicate inflation is collapsed by the pre-split merge
+    reads = _reads(7, 3500, 55, 3)
     k = 17
     us_ooc = engine.build_from_seqs(reads, _tiny_ooc_cfg(k))
     us_mem = engine.build_from_seqs(

@@ -105,9 +105,11 @@ def test_positioned_full_build_oracle():
 def test_positioned_ooc_spill_build():
     reads = _genome_reads(9, 1500, 60, 3)
     k = 19
-    cfg = engine.EngineConfig(k=k, abundance_min=1, block_reads=16,
-                              max_len=64, chunk_kmers=512,
-                              resident_kmers=1024)
+    # small blocks keep the 2-chunk budget floor (2 * chunk_cap) below
+    # the ~1.3k distinct k-mers so multi-pass genuinely engages
+    cfg = engine.EngineConfig(k=k, abundance_min=1, block_reads=8,
+                              max_len=48, chunk_kmers=256,
+                              resident_kmers=256)
     got = engine.build_from_seqs(reads, cfg)
     assert got.stats.get("ooc_passes", 0) > 1
     cfg2 = engine.EngineConfig(k=k, abundance_min=1, block_reads=16,

@@ -119,6 +119,16 @@ def redo_links(unitigs_path: str, k: int, verbose: int) -> None:
         print(f"re-linked {len(seqs)} unitigs -> {unitigs_path}")
 
 
+def _adapt_max_len(bank, cfg) -> None:
+    """Size the block geometry to the sampled read length: the default
+    512-base rows left 150 bp reads at ~25% chunk occupancy (sentinel
+    slots cost full sort capacity).  Longer outlier reads still stream
+    exactly as overlapping windows."""
+    sampled = bank.sample_max_len()
+    if sampled >= cfg.k:
+        cfg.max_len = max(cfg.k + 1, min(512, -(-sampled // 16) * 16))
+
+
 def _input_blocks(bank, cfg, verbose: int, nb_cores: int = 0):
     """Packed-block stream: native C++ parser when available (with host
     prefetch overlapping device compute), else python."""
@@ -174,6 +184,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", plat)
+    # persistent XLA cache: without it every CLI invocation re-paid the
+    # remote compile service minutes-per-shape (the round-3 e2e timeout:
+    # only bench.py enabled the cache, never the product CLI)
+    from bcalm_tpu.utils.jaxcache import enable_cache
+
+    enable_cache()
 
     from bcalm_tpu import engine
     from bcalm_tpu.io import bank as bank_mod
@@ -281,6 +297,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                   file=sys.stderr)
             return 1
         bank = bank_mod.Bank.open(in_path)
+        _adapt_max_len(bank, cfg)
         mesh = par.make_mesh(n_dev_req)
         mcfg = par.MinimizerConfig(
             m=props.get_int("-minimizer-size"),
@@ -329,6 +346,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                       f"path; ignored on the single-device path",
                       file=sys.stderr)
         bank = bank_mod.Bank.open(in_path)
+        _adapt_max_len(bank, cfg)
         with ti.timer("count"):
             from bcalm_tpu.utils.logging import Progress
 

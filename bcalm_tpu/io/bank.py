@@ -160,3 +160,17 @@ class Bank:
         all_bytes = sum(os.path.getsize(p) for p in self.paths)
         scale = max(1.0, all_bytes / max(1, seen_bytes))
         return int(n * scale), int(total * scale)
+
+    def sample_max_len(self, max_records: int = 5000) -> int:
+        """Longest read among the first max_records (block-geometry
+        sizing: a max_len far above the real read length leaves chunk
+        slots sentinel-filled and wastes sort capacity; longer outlier
+        reads simply stream as overlapping windows)."""
+        longest = 0
+        n = 0
+        for s in self:
+            longest = max(longest, len(s))
+            n += 1
+            if n >= max_records:
+                break
+        return longest

@@ -269,6 +269,8 @@ def cli_config(name, genome_len, coverage, read_len, k, seed,
             peak_mb = int(line.split()[-1])
         if line.startswith("wrote "):
             n_unitigs = int(line.split()[1])
+        if "[time:" in line:
+            log(f"[{name}] {line.strip()}")
     out_path = os.path.join(d, "reads.unitigs.fa")
     out_mb = os.path.getsize(out_path) >> 20 if os.path.exists(out_path) else 0
     occ = n_reads * (read_len - k + 1)

@@ -119,14 +119,30 @@ def redo_links(unitigs_path: str, k: int, verbose: int) -> None:
         print(f"re-linked {len(seqs)} unitigs -> {unitigs_path}")
 
 
-def _adapt_max_len(bank, cfg) -> None:
-    """Size the block geometry to the sampled read length: the default
-    512-base rows left 150 bp reads at ~25% chunk occupancy (sentinel
-    slots cost full sort capacity).  Longer outlier reads still stream
-    exactly as overlapping windows."""
+def _adapt_max_len(bank, cfg, max_memory_mb: int = 0) -> None:
+    """Size the block geometry + counting chunk to the input.
+
+    max_len: the default 512-base rows left 150 bp reads at ~25% chunk
+    occupancy (sentinel slots cost full sort capacity); sample the bank's
+    read lengths instead (longer outliers still stream exactly as
+    overlapping windows).
+
+    chunk: 2^23 sorts fastest per slot, but at >=64M-occurrence scale the
+    LSM merge traffic dominates and 2^24 chunks win (ecoli50x measured
+    23.3 -> 31.3 M occ/s); estimate the occurrence total from file sizes
+    (gz ~3x) and pick accordingly unless -max-memory already chose."""
     sampled = bank.sample_max_len()
     if sampled >= cfg.k:
         cfg.max_len = max(cfg.k + 1, min(512, -(-sampled // 16) * 16))
+    raw = sum(os.path.getsize(p) for p in bank.paths
+              if os.path.exists(p))
+    mult = 3.0 if any(str(p).endswith(".gz") for p in bank.paths) else 1.0
+    bases = raw * mult * 0.9
+    if sampled > 0 and bases > 0:
+        occ = bases * max(0.1, 1.0 - (cfg.k - 1) / max(cfg.k, sampled))
+        cfg.est_total_occ = int(occ)
+    if max_memory_mb <= 0 and cfg.est_total_occ >= (1 << 26):
+        cfg.chunk_kmers = 1 << 24
 
 
 def _input_blocks(bank, cfg, verbose: int, nb_cores: int = 0):
@@ -297,7 +313,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                   file=sys.stderr)
             return 1
         bank = bank_mod.Bank.open(in_path)
-        _adapt_max_len(bank, cfg)
+        _adapt_max_len(bank, cfg, props.get_int("-max-memory"))
         mesh = par.make_mesh(n_dev_req)
         mcfg = par.MinimizerConfig(
             m=props.get_int("-minimizer-size"),
@@ -346,7 +362,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                       f"path; ignored on the single-device path",
                       file=sys.stderr)
         bank = bank_mod.Bank.open(in_path)
-        _adapt_max_len(bank, cfg)
+        _adapt_max_len(bank, cfg, props.get_int("-max-memory"))
         with ti.timer("count"):
             from bcalm_tpu.utils.logging import Progress
 

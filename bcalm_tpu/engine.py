@@ -106,7 +106,10 @@ def configure_chunk(cfg: EngineConfig, max_memory_mb: int) -> int:
         budget = max_memory_mb * 1_000_000
         bytes_per_slot = 4 * L * 4  # lanes * workspace factor * sizeof(u32)
         slots = (budget // 2) // bytes_per_slot
-        cfg.chunk_kmers = int(max(1 << 20, min(slots, 1 << 27)))
+        # cap at 2^24: bitonic sort cost is superlinear per slot, and
+        # 2^24 measured fastest at >=64M-occurrence scale (larger chunks
+        # stopped paying once LSM merge traffic was amortized)
+        cfg.chunk_kmers = int(max(1 << 20, min(slots, 1 << 24)))
         res_slots = (budget // 2) // (L * 4 + 4)
         cfg.resident_kmers = int(
             max(2 * cfg.chunk_kmers, min(res_slots, 1 << 31))

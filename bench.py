@@ -340,8 +340,10 @@ def main():
 
     run_config("headline", lambda: device_config(
         "headline", k, genome_len, coverage, read_len, chunk))
+    # 2^24 chunks win at >=64M-occurrence scale (merge traffic dominates)
     run_config("ecoli50x", lambda: device_config(
-        "ecoli50x", 31, 4_600_000, 50, 150, chunk, runs=2, seed=2))
+        "ecoli50x", 31, 4_600_000, 50, 150, 16 * 1024 * 1024, runs=2,
+        seed=2))
     # out-of-core configs: resident=1 clamps the device budget to the
     # 2-chunk floor, forcing genuine multi-pass key-range counting (the
     # distinct sets exceed the floor).  spill31 is sized so the demo is

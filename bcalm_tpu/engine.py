@@ -97,9 +97,13 @@ def configure_chunk(cfg: EngineConfig, max_memory_mb: int) -> int:
 
     Budget model: half the budget buys chunk workspace (a chunk slot costs
     L u32 for the key plus ~4x workspace: sort double-buffering, group ids,
-    segment sums, scatter output); the other half buys residency for the
-    settled distinct runs (L u32 key + i32 count per slot).  Runs past the
-    residency budget spill to host RAM (out-of-core merge).
+    segment sums, scatter output).  The residency budget must ALSO
+    reserve the LSM merge transient: merging two runs of capacity c
+    sorts a 2c concat with L+2 u32 operands double-buffered — ~(L+2)*16
+    bytes per slot of the larger run, on top of the (L+1)*4 the resident
+    rows themselves hold (with <=2x pow2 slack).  A model that ignored
+    this OOM'd a 16 GB chip at ~100M resident k=51 slots.  Runs past the
+    residency budget go multi-pass (out-of-core key ranges).
     """
     if max_memory_mb and max_memory_mb > 0:
         L = ln.num_lanes(cfg.k)
@@ -110,7 +114,7 @@ def configure_chunk(cfg: EngineConfig, max_memory_mb: int) -> int:
         # 2^24 measured fastest at >=64M-occurrence scale (larger chunks
         # stopped paying once LSM merge traffic was amortized)
         cfg.chunk_kmers = int(max(1 << 20, min(slots, 1 << 24)))
-        res_slots = (budget // 2) // (L * 4 + 4)
+        res_slots = budget // ((L + 2) * 40)
         cfg.resident_kmers = int(
             max(2 * cfg.chunk_kmers, min(res_slots, 1 << 31))
         )

@@ -47,7 +47,10 @@ class Store:
             # keeps the locality-ordered compaction fast path (and the
             # deterministic reorder that chain checkpoints rely on)
             arrays["minpos"] = minpos
-        np.savez_compressed(os.path.join(self.path, "solid.npz"), **arrays)
+        # UNcompressed: packed canonical k-mers are near-incompressible,
+        # and single-core zlib on a 2.4 GB genome-scale table costs
+        # minutes; np.load reads both formats, so old stores stay valid
+        np.savez(os.path.join(self.path, "solid.npz"), **arrays)
         if histogram is not None:
             np.save(os.path.join(self.path, "histogram.npy"), histogram)
         manifest = {

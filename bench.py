@@ -360,13 +360,20 @@ def main():
         int(os.environ.get("BENCH_E2E_GENOME", 4_600_000)),
         int(os.environ.get("BENCH_E2E_COVERAGE", 50)), 150, 31, seed=1))
     if os.environ.get("BENCH_SCALE"):
-        # C. elegans-class scale (BASELINE.md config): 100 Mbp x30, k=51
-        # through the CLI.  ~3G occurrences; opt-in because generation +
-        # run exceed the default driver budget
-        # -max-memory 8000 -> ~200M resident slots: the ~100M distinct
-        # k-mers stay device-resident in ONE pass with merge headroom
+        # C. elegans-class scale (BASELINE.md configs), opt-in because
+        # generation + runs exceed the default driver budget.  Two
+        # shapes, both ~3G occurrences end-to-end through the CLI:
+        #   celegans:  the named 100 Mbp genome at 30x, k=31 (~100M
+        #              distinct; multi-pass counting + compaction fit)
+        #   bigk51_3g: k=51 at 50 Mbp x60 (~50M distinct) — the
+        #              junction stage of a 100M-solid k=51 set needs
+        #              ~13 GB of sort workspace and exceeds this chip's
+        #              16 GB HBM; 50M solid fits (docs/OOC.md)
         run_config("celegans", lambda: cli_config(
-            "celegans", 100_000_000, 30, 150, 51, seed=7,
+            "celegans", 100_000_000, 30, 150, 31, seed=7,
+            extra_args=("-max-memory", "8000")))
+        run_config("bigk51_3g", lambda: cli_config(
+            "bigk51_3g", 50_000_000, 60, 150, 51, seed=8,
             extra_args=("-max-memory", "8000")))
     if skipped:
         out["skipped_over_budget"] = skipped

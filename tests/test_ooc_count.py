@@ -5,8 +5,8 @@ The reference sizes (pass x partition) disk staging so any dataset fits
 RAM (gatb ConfigurationAlgorithm, SURVEY.md §3.2; legacy -dsk-memory /
 -dsk-disk at /root/reference/src/bcalm_1.cpp:22-23); here HBM plays the
 role of RAM, passes re-read the input (or a packed-block cache, memmap
-under -max-disk staging), and each pass's key range is chosen adaptively
-by median splits when device residency overflows.
+under -max-disk staging), and each pass's key range is chosen by
+saturation-model quantile splits when device residency overflows.
 """
 
 import random
@@ -195,3 +195,28 @@ def test_max_disk_exceeded_raises(tmp_path):
         assert "max-disk" in str(e)
     else:
         raise AssertionError("expected -max-disk overflow to raise")
+
+
+def test_pass_count_near_optimal():
+    """The saturation-model splitter must choose ~ceil(distinct/budget)
+    passes, not cascade reactive splits (the 12-passes-where-2-suffice
+    bug: transient duplicate inflation + min-2 forced splits)."""
+    reads = _reads(23, 6000, 60, 2, copies=3)   # ~6k distinct, cov ~6
+    k = 21
+    cfg = engine.EngineConfig(k=k, abundance_min=1, block_reads=16,
+                              max_len=64, chunk_kmers=512,
+                              resident_kmers=2048)
+    # budget floor = max(2048, 2*chunk_cap); block geometry gives
+    # chunk_cap 1024 -> budget 2048; distinct ~6k -> optimal ~3 ranges
+    blocks = packing.iter_blocks(reads, k, block_reads=16, max_len=64)
+    unique, counts, minpos, n_u, stats = engine.count_blocks(blocks, cfg)
+    assert isinstance(unique, np.ndarray)
+    n_distinct = int(n_u)
+    budget = 2048
+    optimal = -(-n_distinct // budget)
+    assert stats["ooc_passes"] <= optimal + 2, (
+        f"{stats['ooc_passes']} passes for {n_distinct} distinct at "
+        f"budget {budget} (optimal ~{optimal})")
+    keys, expect = _oracle_counts(reads, k)
+    assert list(ln.lanes_to_ints(unique)) == keys
+    assert list(np.asarray(counts)) == expect

@@ -230,9 +230,14 @@ def _cached_reads_gz(genome_len, coverage, read_len, seed):
 
 
 def cli_config(name, genome_len, coverage, read_len, k, seed,
-               extra_args=()):
+               extra_args=(), check=False):
     """Full CLI run: gzipped FASTA on disk -> unitigs.fa (native ingest,
-    counting, compaction, links, write).  Wall-clock + peak RSS."""
+    counting, compaction, links, write).  Wall-clock + peak RSS.
+
+    check=True: run the sampled k-mer-content oracle
+    (scripts/sampled_check.py) on the output before cleanup and carry
+    its verdict in the metrics (the scale configs' correctness
+    evidence)."""
     import shutil
     import tempfile
 
@@ -276,8 +281,7 @@ def cli_config(name, genome_len, coverage, read_len, k, seed,
     occ = n_reads * (read_len - k + 1)
     log(f"[{name}] {wall:.1f}s wall, {occ} occ -> {n_unitigs} unitigs "
         f"({out_mb} MB), peak RSS {peak_mb} MB")
-    shutil.rmtree(d, ignore_errors=True)
-    return {
+    res = {
         "k": k,
         "kmer_occ": occ,
         "wall_s": round(wall, 1),
@@ -285,6 +289,19 @@ def cli_config(name, genome_len, coverage, read_len, k, seed,
         "peak_rss_mb": peak_mb,
         "n_unitigs": n_unitigs,
     }
+    if check and os.path.exists(out_path):
+        chk = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "sampled_check.py"),
+             out_path, reads_path, str(k)],
+            capture_output=True, text=True, timeout=3600)
+        verdict = (chk.stdout.strip().splitlines() or ["(no output)"])[-1]
+        log(f"[{name}] {verdict}")
+        res["oracle"] = verdict if chk.returncode == 0 else \
+            f"FAILED: {chk.stderr[-200:]}"
+    shutil.rmtree(d, ignore_errors=True)
+    return res
 
 
 def main():
@@ -371,10 +388,10 @@ def main():
         #              16 GB HBM; 50M solid fits (docs/OOC.md)
         run_config("celegans", lambda: cli_config(
             "celegans", 100_000_000, 30, 150, 31, seed=7,
-            extra_args=("-max-memory", "8000")))
+            extra_args=("-max-memory", "8000"), check=True))
         run_config("bigk51_3g", lambda: cli_config(
             "bigk51_3g", 50_000_000, 60, 150, 51, seed=8,
-            extra_args=("-max-memory", "8000")))
+            extra_args=("-max-memory", "8000"), check=True))
     if skipped:
         out["skipped_over_budget"] = skipped
 

@@ -12,8 +12,11 @@ random genomes of the corresponding size/coverage):
              same multi-pass out-of-core path
   e2e        CLI run on a gzipped FASTA on disk (native ingest ->
              unitigs.fa with links), wall-clock + peak RSS
-  celegans   (opt-in BENCH_SCALE=1) 100 Mbp x30, k=51 — C. elegans-class
-             scale through the CLI (BASELINE.md config)
+  celegans   (opt-in BENCH_SCALE=1) 100 Mbp x40, k=31 (3.2G occ) and
+             bigk51_3g 50 Mbp x60, k=51 (2G occ) — C. elegans-class
+             scale through the CLI with the sampled content oracle
+             (BASELINE.md configs; the 100M-solid k=51 combination
+             exceeds this chip's compaction memory, docs/OOC.md)
 
 Prints ONE JSON line.  The primary metric stays canonical k-mers
 counted/sec/chip; glued/sec, per-config numbers, and compile (warmup)
@@ -387,7 +390,7 @@ def main():
         #              ~13 GB of sort workspace and exceeds this chip's
         #              16 GB HBM; 50M solid fits (docs/OOC.md)
         run_config("celegans", lambda: cli_config(
-            "celegans", 100_000_000, 30, 150, 31, seed=7,
+            "celegans", 100_000_000, 40, 150, 31, seed=7,
             extra_args=("-max-memory", "8000"), check=True))
         run_config("bigk51_3g", lambda: cli_config(
             "bigk51_3g", 50_000_000, 60, 150, 51, seed=8,

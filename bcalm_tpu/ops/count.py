@@ -170,6 +170,30 @@ def filter_abundance(unique, counts, n_unique, abundance_min, abundance_max):
 
 
 @jax.jit
+def filter_abundance_fold(unique, counts, minpos, n_unique, abundance_min,
+                          abundance_max):
+    """Elementwise solidity filter: non-solid columns are FOLDED to the
+    sentinel (lanes + pos) instead of scatter-compacted.  The downstream
+    locality reorder (ops.runchains.reorder_by_pos) sorts by pos anyway,
+    which pushes folded columns past the valid prefix for free — so the
+    scatter compaction (~50M idx/s on TPU) and one host round-trip are
+    both avoided.  Returns (unique', counts', pos', nn) with nn a stacked
+    (2,) int32 of [n_unique, n_solid]: ONE fetch serves both scalars."""
+    N = unique.shape[1]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    keep = (
+        (idx < n_unique)
+        & (counts >= abundance_min)
+        & (counts <= abundance_max)
+    )
+    solid = jnp.where(keep[None], unique, SENTINEL)
+    solid_counts = jnp.where(keep, counts, 0)
+    solid_pos = jnp.where(keep, minpos, SENTINEL)
+    n_solid = jnp.sum(keep.astype(jnp.int32))
+    return solid, solid_counts, solid_pos, jnp.stack([n_unique, n_solid])
+
+
+@jax.jit
 def filter_abundance_pos(unique, counts, minpos, n_unique, abundance_min,
                          abundance_max):
     """filter_abundance carrying the first-occurrence keys through."""

@@ -69,6 +69,12 @@ class EngineConfig:
     # sizes); sharpens the rarefaction-based partition-count choice on
     # pass 1 (0 = unknown: assume twice the stream seen so far)
     est_total_occ: int = 0
+    # multi-pass device-side packed-block cache budget (MB): later passes
+    # re-read the input from HBM instead of re-crossing the host link
+    # (the tunneled link at ~30 MB/s made pass-2 block uploads a
+    # first-order OOC cost).  0 disables.  Packed reads are ~0.27 B/base,
+    # so the default covers ~1.9 Gbp of input.
+    dev_block_cache_mb: int = 512
 
 
 @dataclass
@@ -559,6 +565,11 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
         else None
     pass_no = 0
     did_split = False
+    # stage-timing accumulators (seconds) — surfaced as stats["timing"],
+    # the per-stage observability the OOC path needs (A1: TimeInfo analog)
+    import time as _time
+    tm = {"settle_wait": 0.0, "split": 0.0, "final_merge": 0.0,
+          "fetch_wait": 0.0, "passes": []}
 
     def trim(unique, counts, minpos, n_u):
         """Slice a distinct run to a POWER-OF-2 capacity (bounded compile
@@ -630,6 +641,43 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
             partials.append(merged + (max(a[4], b[4]) + 1,))
             resident_slots += merged[0].shape[1]
 
+    def _solve_G(m: float, t: float) -> float:
+        """Effective key-universe size from m distinct at t occurrences:
+        solve m = G*(1 - exp(-t/G)) ((1-e^-x)/x = m/t, decreasing in x)."""
+        ratio = m / t
+        lo_x, hi_x = 1e-6, 50.0
+        for _ in range(60):
+            mid = 0.5 * (lo_x + hi_x)
+            if (1.0 - np.exp(-mid)) / mid > ratio:
+                lo_x = mid
+            else:
+                hi_x = mid
+        return t / (0.5 * (lo_x + hi_x))
+
+    # saturation anchor for the CURRENT range: (exact distinct, in-range
+    # occ seen) at the last full merge — lets the overflow trigger use a
+    # duplicate-corrected projection instead of the raw run-sum
+    anchor = [0, 0]   # [m_exact, t_at_merge]
+
+    def projected_distinct() -> int:
+        """Duplicate-corrected estimate of the range's current distinct
+        count.  resident_n() sums per-run distincts, which double-counts
+        k-mers shared across runs; once a range saturates, that raw sum
+        crosses the budget at EVERY settle and round 4's trigger re-ran
+        the full-merge each time (~230ms x ~1/chunk = 7.6s/pass on
+        spill31).  Anchored at the last exact merge (m0 at t0), project
+        m(t) = G*(1-exp(-t/G)) and clamp to [m0, m0 + sum of new runs]
+        (the true bounds)."""
+        raw = resident_n()
+        m0, t0 = anchor
+        if m0 <= 0 or t_seen <= t0:
+            return raw
+        if m0 >= 0.98 * t0:
+            return raw           # duplicate-free so far: sum is exact-ish
+        G = _solve_G(m0, t0)
+        m_proj = G * (1.0 - np.exp(-t_seen / G))
+        return int(min(max(m_proj, m0), raw))
+
     def split_current_range():
         """Partition the current key range when residency exceeds budget.
 
@@ -645,16 +693,39 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
         split ONCE at P-1 equal-distinct quantile keys of the merged run
         (the adaptive analog of DSK's sampling-based
         ConfigurationAlgorithm pass sizing).  Re-runs reactively if the
-        kept range still overflows later."""
+        kept range still overflows later.
+
+        Triggers for the FULL merge + exact check: the duplicate-
+        corrected projection (projected_distinct) crossing the distinct
+        budget, or resident SLOTS crossing 3x the budget.  The slots
+        valve is the safety net for streams that defeat the projection
+        (positional genome scans look locally saturated — the i.i.d.
+        rarefaction model then converges BELOW the true distinct count
+        and would never re-check): the LSM tower's slot growth tracks
+        the raw run mass, so an exact check happens at least once per
+        ~budget of new mass.  Between checks the true distinct may
+        transiently overshoot the budget by the window; the 80 B/slot
+        memory model (configure_chunk) absorbs a 3x slot transient."""
         nonlocal hi_np, hi_d, resident_slots, did_split, refilter_pending
+        nonlocal t_seen
         budget = max(cfg.resident_kmers, 2 * (chunk_cap or 0))
-        if resident_n() <= budget or not partials:
+        if not partials:
             return
+        if (projected_distinct() <= budget
+                and resident_slots <= 3 * budget):
+            return
+        _tm0 = _time.time()
         force_merge_all()
+        tm["split_merge"] = round(
+            tm.get("split_merge", 0.0) + _time.time() - _tm0, 3)
+        tm["n_force_merges"] = tm.get("n_force_merges", 0) + 1
+        anchor[0] = resident_n()
+        anchor[1] = t_seen
         if resident_n() <= budget:
             # the overflow was cross-run duplicate inflation; the merge
             # collapsed it — no split needed
             return
+        tm["n_splits"] = tm.get("n_splits", 0) + 1
         # ---- project the range's final distinct count ----
         m2 = resident_n()
         t2 = max(1, t_seen)
@@ -666,16 +737,7 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
         if m2 >= 0.98 * t2:
             d_est = t_final          # duplicate-free so far: D ~ T
         else:
-            # solve (1 - e^-x)/x = m/t for x = t/G (decreasing in x)
-            ratio = m2 / t2
-            lo_x, hi_x = 1e-6, 50.0
-            for _ in range(60):
-                mid = 0.5 * (lo_x + hi_x)
-                if (1.0 - np.exp(-mid)) / mid > ratio:
-                    lo_x = mid
-                else:
-                    hi_x = mid
-            G = t2 / (0.5 * (lo_x + hi_x))
+            G = _solve_G(m2, t2)
             d_est = G * (1.0 - np.exp(-t_final / G))
         P = int(np.ceil(d_est * 1.15 / budget))
         if P <= 1 and resident_n() <= budget:
@@ -716,6 +778,14 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
             new_partials.append(run + (rgen,))
             resident_slots += run[0].shape[1]
         partials[:] = new_partials
+        # the anchor referred to the pre-split range; re-anchor on the
+        # kept range (its distinct is exact: one merged run, just
+        # trimmed).  t_seen counted PRE-SPLIT in-range occurrences;
+        # rescale it by the kept share so the saturation ratio and all
+        # future (in-new-range) increments stay in one scope.
+        anchor[0] = resident_n()
+        t_seen = max(1, int(t_seen * anchor[0] / max(1, m2)))
+        anchor[1] = t_seen
 
     def settle_pending():
         """Materialize the PREVIOUS chunk's distinct count and trim it.
@@ -726,7 +796,9 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
         nonlocal pending, resident_slots, refilter_pending, t_seen
         if pending is not None:
             unique, counts, minpos, nw_dev = pending
+            _t0 = _time.time()
             nw = np.asarray(nw_dev)
+            tm["settle_wait"] += _time.time() - _t0
             n_eff = int(nw[0])
             t_seen += int(nw[1])
             if refilter_pending:
@@ -737,7 +809,9 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
             resident_slots += run[0].shape[1]
             pending = None
             merge_generations()
+            _t0 = _time.time()
             split_current_range()
+            tm["split"] += _time.time() - _t0
 
     def fresh_buf():
         # chunk_cap is a power of two (the sort's shape class); the extra
@@ -779,19 +853,27 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
             chunk_buf = jax.lax.dynamic_update_slice(chunk_buf, tail, (0, 0))
         chunk_fill = leftover
 
+    # device-side packed-block cache: (words_d, lengths_d, F, occ) per
+    # block, filled on pass 1 while under budget.  Later passes then
+    # re-read the input from HBM — no host-link crossing, no repacking.
+    dev_cache: list = []
+    dev_cache_bytes = 0
+    dev_cache_ok = cfg.dev_block_cache_mb > 0
+
     def run_pass(block_iter, first_pass: bool):
         nonlocal chunk_buf, chunk_cap, block_F, chunk_fill, slot_base
         nonlocal n_reads, n_bases, n_occ, t_seen, pass_occ_seen
+        nonlocal dev_cache_bytes, dev_cache_ok
         slot_base = 0
         chunk_fill = 0
         t_seen = 0
         pass_occ_seen = 0
         if chunk_buf is not None:
             chunk_buf = fresh_buf()
-        for block in block_iter:
-            if first_pass and cache is not None:
-                cache.add(block.words, block.lengths)
-            F = block_slots(block.words.shape, cfg.k)
+
+        def insert(words_d, lengths_d, F: int, occ: int):
+            nonlocal chunk_buf, chunk_cap, block_F, chunk_fill, slot_base
+            nonlocal pass_occ_seen
             if chunk_buf is None or F != block_F:
                 if chunk_buf is not None:  # geometry change: drain buffer
                     flush()
@@ -800,21 +882,41 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
                 chunk_cap = _round_capacity(max(cfg.chunk_kmers, F))
                 chunk_buf = fresh_buf()
                 chunk_fill = 0
-            lens = block.lengths.astype(np.int64)
-            pass_occ_seen += int(np.maximum(0, lens - cfg.k + 1).sum())
-            if first_pass:
-                n_reads += int((lens > 0).sum())
-                n_bases += int(lens.sum())
-                n_occ += int(np.maximum(0, lens - cfg.k + 1).sum())
+            pass_occ_seen += occ
             chunk_buf = _extract_insert(
-                chunk_buf, jnp.asarray(block.words),
-                jnp.asarray(block.lengths), cfg.k,
+                chunk_buf, words_d, lengths_d, cfg.k,
                 np.uint32(slot_base & 0x7FFFFFFF),
                 jnp.asarray(chunk_fill, jnp.int32))
             slot_base += F
             chunk_fill += F
             if chunk_fill >= chunk_cap:
                 flush()
+
+        if not first_pass and dev_cache_ok and dev_cache:
+            for words_d, lengths_d, F, occ in dev_cache:
+                insert(words_d, lengths_d, F, occ)
+            flush()
+            return
+        for block in block_iter:
+            if first_pass and cache is not None:
+                cache.add(block.words, block.lengths)
+            F = block_slots(block.words.shape, cfg.k)
+            lens = block.lengths.astype(np.int64)
+            occ = int(np.maximum(0, lens - cfg.k + 1).sum())
+            if first_pass:
+                n_reads += int((lens > 0).sum())
+                n_bases += int(lens.sum())
+                n_occ += occ
+            words_d = jnp.asarray(block.words)
+            lengths_d = jnp.asarray(block.lengths)
+            if first_pass and dev_cache_ok:
+                dev_cache_bytes += block.words.nbytes + block.lengths.nbytes
+                if dev_cache_bytes > cfg.dev_block_cache_mb * 1_000_000:
+                    dev_cache.clear()
+                    dev_cache_ok = False
+                else:
+                    dev_cache.append((words_d, lengths_d, F, occ))
+            insert(words_d, lengths_d, F, occ)
         flush()
 
     def final_range_run():
@@ -896,12 +998,14 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
     while True:
         pass_no += 1
         first = pass_no == 1
+        _tp = _time.time()
         if first:
             run_pass(block_iter, True)
         elif reread is not None:
             run_pass(reread(), False)
         else:
             run_pass(cache.blocks(), False)
+        tm["passes"].append(round(_time.time() - _tp, 3))
         if first and not did_split and not range_stack:
             # everything resident: the single-pass fast path returns
             # device arrays with n un-synced (callers fetch it)
@@ -911,31 +1015,39 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
             stats = {"reads": n_reads, "bases": n_bases,
                      "kmer_occurrences": n_occ}
             return unique, counts, minpos, n_dev, stats
+        _t0 = _time.time()
         unique, counts, minpos, n_dev = final_range_run()
         n = int(n_dev)
+        tm["final_merge"] += _time.time() - _t0
         total_occ_known = n_occ   # pass 1 done: exact stream total known
         # materialize the PREVIOUS range's fetch now: its transfer had a
         # whole pass to complete, and freeing it bounds device memory to
         # two in-flight fetch buffers
+        _t0 = _time.time()
         if results and not isinstance(results[-1][0], tuple):
             buf_prev, n_prev = results[-1]
             results[-1] = (materialize(buf_prev, n_prev), n_prev)
         results.append((start_fetch(unique, counts, minpos, n), n))
+        tm["fetch_wait"] += _time.time() - _t0
         del unique, counts, minpos
         if not range_stack:
             break
         lo_np, hi_np = range_stack.pop()
         lo_d = jnp.asarray(lo_np)
         hi_d = jnp.asarray(hi_np)
+        anchor[0] = anchor[1] = 0   # fresh range: no saturation anchor
+    dev_cache.clear()   # release the HBM block cache before assembly
     if cache is not None:
         cache.close()
 
     # ---- host assembly (ranges are ascending, so concatenation is the
     # globally sorted distinct table) ----
+    _t0 = _time.time()
     triples = []
     for buf, n in results:
         triples.append(buf if isinstance(buf, tuple)
                        else materialize(buf, n))
+    tm["fetch_wait"] += _time.time() - _t0
     total = sum(t[1].shape[0] for t in triples)
     lanes_np = np.zeros((L, total), np.uint32)
     counts_np = np.zeros((total,), np.int32)
@@ -947,8 +1059,13 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
         counts_np[off:off + m] = c
         pos_np[off:off + m] = p
         off += m
+    tm["settle_wait"] = round(tm["settle_wait"], 3)
+    tm["split"] = round(tm["split"], 3)
+    tm["final_merge"] = round(tm["final_merge"], 3)
+    tm["fetch_wait"] = round(tm["fetch_wait"], 3)
     stats = {"reads": n_reads, "bases": n_bases, "kmer_occurrences": n_occ,
-             "ooc_passes": pass_no, "ooc_ranges": len(results)}
+             "ooc_passes": pass_no, "ooc_ranges": len(results),
+             "timing": tm}
     return lanes_np, counts_np, pos_np, total, stats
 
 

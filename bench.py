@@ -160,6 +160,8 @@ def device_config(name, k, genome_len, coverage, read_len, chunk,
         f"({n_distinct} distinct, {n_solid} solid, "
         f"{stats.get('ooc_passes', 1)} passes) = "
         f"{kmers_per_sec/1e6:.1f}M/s")
+    if "timing" in stats:
+        log(f"[{name}] count timing {stats['timing']}")
 
     if isinstance(solid_f, np.ndarray):
         cap = engine._round_capacity(max(1, n_solid))

@@ -245,6 +245,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     cfg.max_disk_mb = props.get_int("-max-disk")
     skip_bcalm = props.get_bool("-skip-bcalm")
     skip_bglue = props.get_bool("-skip-bglue")
+    if skip_bglue and not skip_bcalm:
+        # the chain checkpoint only exists relative to stored counts; a
+        # recount would silently recompute the glue it asked to skip
+        print("-skip-bglue requires -skip-bcalm (resume workflow: run "
+              "with -only-uf, then -skip-bcalm -skip-bglue)",
+              file=sys.stderr)
+        return 1
 
     solid = counts = minpos = histo = None
     built_us = None
@@ -388,7 +395,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                 for p in bank.paths:
                     sub = bank_mod.Bank([p])
                     s_i, c_i, _, _, st = engine.count_and_filter(
-                        counted_blocks(sub), cfg1)
+                        counted_blocks(sub), cfg1,
+                        reread=lambda sub=sub: _input_blocks(
+                            sub, cfg, verbose,
+                            nb_cores=props.get_int("-nb-cores")))
                     runs.append((s_i, c_i))
                     for key in ("reads", "bases", "kmer_occurrences"):
                         stats[key] = stats.get(key, 0) + st.get(key, 0)
@@ -408,13 +418,21 @@ def main(argv: Optional[List[str]] = None) -> int:
             else:
                 # device-resident fast path: counting, solidity filter,
                 # compaction and the store checkpoint fetch all stay on
-                # device (no solid-table host round trip between stages)
+                # device (no solid-table host round trip between stages).
+                # reread re-opens the on-disk bank for multi-pass OOC
+                # counting, so single-pass runs never stage the packed
+                # input to disk (round-4 ADVICE: the block cache is for
+                # library callers with one-shot iterators only)
                 built_us = engine.build_from_blocks(
                     counted_blocks(), cfg, store=store,
+                    reread=lambda: _input_blocks(
+                        bank, cfg, verbose,
+                        nb_cores=props.get_int("-nb-cores")),
                     auto_amin_cap=(props.get_int("-abundance-min-threshold")
                                    if auto_amin else None),
                     only_uf=props.get_bool("-only-uf"),
-                    uf_stats=props.get_bool("-uf-stats"))
+                    uf_stats=props.get_bool("-uf-stats"),
+                    solidity_kind=solidity_kind)
             progress.done()
             if auto_amin and verbose:
                 print(f"auto abundance-min = {cfg.abundance_min}")

@@ -992,53 +992,54 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
                 arr[L, :n].astype(np.int32),
                 arr[L + 1, :n].copy())
 
-    # ---- pass loop ----
+    # ---- pass loop (try/finally: the block-staging file must not leak
+    # when -max-disk aborts or any error escapes mid-pass) ----
     block_iter = iter(blocks)
     stats: Dict = {}
-    while True:
-        pass_no += 1
-        first = pass_no == 1
-        _tp = _time.time()
-        if first:
-            run_pass(block_iter, True)
-        elif reread is not None:
-            run_pass(reread(), False)
-        else:
-            run_pass(cache.blocks(), False)
-        tm["passes"].append(round(_time.time() - _tp, 3))
-        if first and not did_split and not range_stack:
-            # everything resident: the single-pass fast path returns
-            # device arrays with n un-synced (callers fetch it)
-            if cache is not None:
-                cache.close()
+    try:
+        while True:
+            pass_no += 1
+            first = pass_no == 1
+            _tp = _time.time()
+            if first:
+                run_pass(block_iter, True)
+            elif reread is not None:
+                run_pass(reread(), False)
+            else:
+                run_pass(cache.blocks(), False)
+            tm["passes"].append(round(_time.time() - _tp, 3))
+            if first and not did_split and not range_stack:
+                # everything resident: the single-pass fast path returns
+                # device arrays with n un-synced (callers fetch it)
+                unique, counts, minpos, n_dev = final_range_run()
+                stats = {"reads": n_reads, "bases": n_bases,
+                         "kmer_occurrences": n_occ}
+                return unique, counts, minpos, n_dev, stats
+            _t0 = _time.time()
             unique, counts, minpos, n_dev = final_range_run()
-            stats = {"reads": n_reads, "bases": n_bases,
-                     "kmer_occurrences": n_occ}
-            return unique, counts, minpos, n_dev, stats
-        _t0 = _time.time()
-        unique, counts, minpos, n_dev = final_range_run()
-        n = int(n_dev)
-        tm["final_merge"] += _time.time() - _t0
-        total_occ_known = n_occ   # pass 1 done: exact stream total known
-        # materialize the PREVIOUS range's fetch now: its transfer had a
-        # whole pass to complete, and freeing it bounds device memory to
-        # two in-flight fetch buffers
-        _t0 = _time.time()
-        if results and not isinstance(results[-1][0], tuple):
-            buf_prev, n_prev = results[-1]
-            results[-1] = (materialize(buf_prev, n_prev), n_prev)
-        results.append((start_fetch(unique, counts, minpos, n), n))
-        tm["fetch_wait"] += _time.time() - _t0
-        del unique, counts, minpos
-        if not range_stack:
-            break
-        lo_np, hi_np = range_stack.pop()
-        lo_d = jnp.asarray(lo_np)
-        hi_d = jnp.asarray(hi_np)
-        anchor[0] = anchor[1] = 0   # fresh range: no saturation anchor
-    dev_cache.clear()   # release the HBM block cache before assembly
-    if cache is not None:
-        cache.close()
+            n = int(n_dev)
+            tm["final_merge"] += _time.time() - _t0
+            total_occ_known = n_occ  # pass 1 done: exact total known
+            # materialize the PREVIOUS range's fetch now: its transfer
+            # had a whole pass to complete, and freeing it bounds device
+            # memory to two in-flight fetch buffers
+            _t0 = _time.time()
+            if results and not isinstance(results[-1][0], tuple):
+                buf_prev, n_prev = results[-1]
+                results[-1] = (materialize(buf_prev, n_prev), n_prev)
+            results.append((start_fetch(unique, counts, minpos, n), n))
+            tm["fetch_wait"] += _time.time() - _t0
+            del unique, counts, minpos
+            if not range_stack:
+                break
+            lo_np, hi_np = range_stack.pop()
+            lo_d = jnp.asarray(lo_np)
+            hi_d = jnp.asarray(hi_np)
+            anchor[0] = anchor[1] = 0  # fresh range: no saturation anchor
+    finally:
+        dev_cache.clear()   # release the HBM block cache
+        if cache is not None:
+            cache.close()
 
     # ---- host assembly (ranges are ascending, so concatenation is the
     # globally sorted distinct table) ----
@@ -1382,7 +1383,8 @@ def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
 def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig,
                       reread=None, store=None, auto_amin_cap=None,
                       only_uf: bool = False,
-                      uf_stats: bool = False) -> UnitigSet:
+                      uf_stats: bool = False,
+                      solidity_kind: str = "sum") -> UnitigSet:
     """Device-resident end-to-end build (no host round-trip of the solid
     set between counting and compaction — the CLI previously staged the
     solid table through count_and_filter, ~2x its bytes over the ~30 MB/s
@@ -1408,7 +1410,7 @@ def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig,
                 minpos=minpos_np,
                 config={"abundance_min": cfg.abundance_min,
                         "abundance_max": cfg.abundance_max,
-                        "solidity_kind": "sum"})
+                        "solidity_kind": solidity_kind})
 
     if isinstance(unique, np.ndarray):
         counts_np = np.asarray(counts)

@@ -305,7 +305,7 @@ def cli_config(name, genome_len, coverage, read_len, k, seed,
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "scripts", "sampled_check.py"),
-             out_path, reads_path, str(k)],
+             out_path, reads_path, str(k), "5000", "2"],
             capture_output=True, text=True, timeout=3600)
         verdict = (chk.stdout.strip().splitlines() or ["(no output)"])[-1]
         log(f"[{name}] {verdict}")

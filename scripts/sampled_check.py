@@ -2,15 +2,25 @@
 
 The full TP/FP/FN evaluator (scripts/unitig_evaluator.py) holds python
 sets — fine to E. coli scale, hopeless at 3G occurrences.  This checker
-is numpy end-to-end: it builds a 64-bit hash array of every canonical
-k-mer in the unitigs file (sorted, ~8 B/k-mer), asserts the unitig
-decomposition invariant (no k-mer appears twice across unitigs — the
-"should not happen" check of the reference's unitigEvaluator.cpp:214),
-then streams a SAMPLE of reads and verifies every sampled read k-mer is
-present (FN check; FP at genome scale is covered by the invariant +
-count equality of the engine's own tests).
+is numpy end-to-end and checks BOTH directions:
 
-usage: sampled_check.py <unitigs.fa> <reads.fa[.gz]> <k> [sample_reads]
+1. decomposition invariant — no canonical k-mer appears twice across
+   unitigs (the "should not happen" check of the reference's
+   unitigEvaluator.cpp:214), via a sorted 64-bit hash array;
+2. FN direction — stream a sample of reads; any sampled read k-mer
+   absent from the unitigs is only legitimate if its TOTAL input count
+   is below abundance_min (the solidity filter), which a full-input
+   recheck pass verifies EXACTLY for the missing set;
+3. FP direction — a uniform sample of unitig k-mers is counted in the
+   same full-input pass; every one must occur >= abundance_min times in
+   the reads (solid k-mers come from the input by construction).
+
+Hashing is a canonical (reverse-complement-symmetric) rolling polynomial
+mod 2^64 — O(n) per sequence, vectorized, so the full-input pass runs at
+numpy memory speed even at billions of occurrences.
+
+usage: sampled_check.py <unitigs.fa> <reads.fa[.gz]> <k> \
+           [sample_reads] [abundance_min] [unitig_sample]
 exit 0 and prints "SAMPLED_OK ..." on success.
 """
 import gzip
@@ -18,46 +28,57 @@ import sys
 
 import numpy as np
 
-C1 = np.uint64(0x9E3779B97F4A7C15)
-C2 = np.uint64(0xC2B2AE3D27D4EB4F)
-
+_B = np.uint64(0x9E3779B97F4A7C17)          # odd -> invertible mod 2^64
+_BINV = np.uint64(pow(int(_B), -1, 1 << 64))
 _LUT = np.full(256, 255, np.uint8)
 for ch, code in (("A", 0), ("C", 1), ("T", 2), ("G", 3)):
     _LUT[ord(ch)] = code
     _LUT[ord(ch.lower())] = code
 
 
+def _mix(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (equality use only needs collision
+    avoidance; this guards the weak low bits of the 2^64 polynomial)."""
+    h = h + np.uint64(0x9E3779B97F4A7C15)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
 def seq_kmer_hashes(seq_bytes: bytes, k: int) -> np.ndarray:
-    """(P,) uint64 canonical k-mer hashes of one sequence (invalid bases
-    split; pieces < k contribute nothing)."""
+    """(P',) uint64 canonical k-mer hashes of one (possibly separator-
+    joined) sequence.  Invalid bytes (incl. separators) mask out every
+    window spanning them.  O(n) rolling polynomial, rc-symmetric:
+    h = mix(poly(fwd) + poly(rc))."""
     codes = _LUT[np.frombuffer(seq_bytes, np.uint8)]
     n = codes.shape[0]
     if n < k:
         return np.zeros(0, np.uint64)
     P = n - k + 1
-    # forward hi/lo 128-bit packing (hi = first k-32 bases for k>32)
-    split = max(0, k - 32)
-    hi_f = np.zeros(P, np.uint64)
-    lo_f = np.zeros(P, np.uint64)
-    hi_r = np.zeros(P, np.uint64)
-    lo_r = np.zeros(P, np.uint64)
-    c64 = codes.astype(np.uint64)
-    rc64 = (codes ^ 2).astype(np.uint64)
-    for j in range(k):
-        b = c64[j: j + P]
-        rb = rc64[k - 1 - j: k - 1 - j + P]   # reverse complement order
-        if j < split:
-            hi_f = (hi_f << np.uint64(2)) | b
-            hi_r = (hi_r << np.uint64(2)) | rb
-        else:
-            lo_f = (lo_f << np.uint64(2)) | b
-            lo_r = (lo_r << np.uint64(2)) | rb
-    use_rc = (hi_r < hi_f) | ((hi_r == hi_f) & (lo_r < lo_f))
-    hi = np.where(use_rc, hi_r, hi_f)
-    lo = np.where(use_rc, lo_r, lo_f)
-    h = hi * C1 ^ lo * C2
-    # mask out k-mers spanning an invalid base
+    c = codes.astype(np.uint64)
     bad = codes == 255
+    c = np.where(bad, 0, c)          # poisoned windows are masked below
+    # powers of B and B^-1 (uint64 wraparound cumprod)
+    pows = np.ones(n, np.uint64)
+    if n > 1:
+        pows[1:] = _B
+        pows = np.cumprod(pows)
+    pinv = np.ones(n, np.uint64)
+    if n > 1:
+        pinv[1:] = _BINV
+        pinv = np.cumprod(pinv)
+    # fwd: hash(i) = sum_{j=i..i+k-1} c[j] B^{i+k-1-j}
+    #             = (S[i+k-1] - S[i-1]) * B^{i+k-1},  S = cumsum(c*B^-j)
+    s = np.cumsum(c * pinv)          # wraps mod 2^64 (uint64)
+    s_prev = np.concatenate([np.zeros(1, np.uint64), s[:-1]])
+    hf = (s[k - 1:] - s_prev[:P]) * pows[k - 1:]
+    # rc: hash(i) = sum_t rc(c[i+k-1-t]) B^{k-1-t}
+    #             = (S2[i+k-1] - S2[i-1]) * B^{-i},  S2 = cumsum(rc*B^j)
+    rc = np.where(bad, np.uint64(0), c ^ np.uint64(2))
+    s2 = np.cumsum(rc * pows)
+    s2_prev = np.concatenate([np.zeros(1, np.uint64), s2[:-1]])
+    hr = (s2[k - 1:] - s2_prev[:P]) * pinv[:P]
+    h = _mix(hf + hr)
     if bad.any():
         cs = np.cumsum(bad.astype(np.int64))
         span_bad = (cs[k - 1:] - np.concatenate([[0], cs[:P - 1]])) > 0
@@ -82,14 +103,40 @@ def iter_fasta(path):
             yield b"".join(chunks)
 
 
+def batched_hashes(path, k, stride=1, max_records=None,
+                   batch_bases=4 << 20):
+    """Yield uint64 hash arrays over '#'-joined record batches (the
+    separator masks cross-record windows), amortizing python overhead."""
+    buf = []
+    size = 0
+    n = 0
+    taken = 0
+    for seq in iter_fasta(path):
+        n += 1
+        if stride > 1 and n % stride:
+            continue
+        taken += 1
+        buf.append(seq)
+        size += len(seq) + 1
+        if size >= batch_bases:
+            yield seq_kmer_hashes(b"#".join(buf), k), taken
+            buf, size = [], 0
+        if max_records and taken >= max_records:
+            break
+    if buf:
+        yield seq_kmer_hashes(b"#".join(buf), k), taken
+
+
 def main():
     unitigs_path, reads_path, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
     sample_reads = int(sys.argv[4]) if len(sys.argv) > 4 else 5000
+    amin = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    unitig_sample = int(sys.argv[6]) if len(sys.argv) > 6 else 100_000
 
+    # ---- unitig hash set + decomposition invariant ----
     parts = []
     total = 0
-    for seq in iter_fasta(unitigs_path):
-        h = seq_kmer_hashes(seq, k)
+    for h, _ in batched_hashes(unitigs_path, k):
         total += h.shape[0]
         parts.append(h)
     allh = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
@@ -100,35 +147,62 @@ def main():
         f"unitig decomposition violated: {dup} repeated k-mers "
         f"(unitigEvaluator.cpp:214 'should not happen')")
 
-    # sample reads uniformly by record index
-    n_seen = 0
+    # ---- FN direction: sampled read k-mers present in unitigs ----
     sampled = 0
-    missing = 0
     checked = 0
-    # prime stride scans the whole file but hashes ~1/997 of records;
-    # small files fall back to stride 1
+    missing_parts = []
     for stride in (997, 1):
-        n_seen = sampled = missing = checked = 0
-        for seq in iter_fasta(reads_path):
-            n_seen += 1
-            if n_seen % stride:
-                continue
-            h = seq_kmer_hashes(seq, k)
+        sampled = checked = 0
+        missing_parts = []
+        for h, taken in batched_hashes(reads_path, k, stride=stride,
+                                       max_records=sample_reads):
             if h.size == 0:
                 continue
             pos = np.searchsorted(allh, h)
-            pos = np.minimum(pos, allh.size - 1)
-            miss = int((allh[pos] != h).sum())
-            missing += miss
+            pos = np.minimum(pos, max(0, allh.size - 1))
+            miss = (allh[pos] != h) if allh.size else np.ones(h.size, bool)
+            missing_parts.append(h[miss])
             checked += h.size
-            sampled += 1
-            if sampled >= sample_reads:
-                break
+            sampled = taken
         if sampled >= min(sample_reads, 100):
             break
-    assert missing == 0, f"{missing}/{checked} sampled k-mers missing"
+    missing = (np.unique(np.concatenate(missing_parts))
+               if missing_parts else np.zeros(0, np.uint64))
+    if missing.size and amin <= 1:
+        raise AssertionError(
+            f"{missing.size} sampled k-mers missing with abundance-min 1")
+
+    # ---- full-input recheck pass: exact counts for (a) every missing
+    # k-mer (must be < amin: legitimately filtered) and (b) a uniform
+    # unitig k-mer sample (must be >= amin: the FP direction) ----
+    step = max(1, allh.size // max(1, unitig_sample))
+    probe_u = allh[::step]
+    watch = np.unique(np.concatenate([probe_u, missing]))
+    wcounts = np.zeros(watch.size, np.int64)
+    if watch.size:
+        for h, _ in batched_hashes(reads_path, k):
+            if h.size == 0:
+                continue
+            pos = np.searchsorted(watch, h)
+            pos = np.minimum(pos, watch.size - 1)
+            hit = watch[pos] == h
+            if hit.any():
+                wcounts += np.bincount(pos[hit], minlength=watch.size)
+    # (a) missing k-mers were abundance-filtered
+    mpos = np.searchsorted(watch, missing)
+    over = int((wcounts[mpos] >= amin).sum()) if missing.size else 0
+    assert over == 0, (
+        f"{over}/{missing.size} missing sampled k-mers have input count "
+        f">= abundance-min {amin}: genuine false negatives")
+    # (b) sampled unitig k-mers occur solidly in the input
+    upos = np.searchsorted(watch, probe_u)
+    fp = int((wcounts[upos] < amin).sum()) if probe_u.size else 0
+    assert fp == 0, (
+        f"{fp}/{probe_u.size} sampled unitig k-mers occur < abundance-min "
+        f"{amin} times in the input: false positives")
     print(f"SAMPLED_OK unitig_kmers={total} sampled_reads={sampled} "
-          f"checked_kmers={checked} missing=0 repeated=0")
+          f"checked_kmers={checked} filtered_fn={missing.size} "
+          f"fp_probe={probe_u.size} missing=0 repeated=0")
 
 
 if __name__ == "__main__":

@@ -1008,6 +1008,12 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
             else:
                 run_pass(cache.blocks(), False)
             tm["passes"].append(round(_time.time() - _tp, 3))
+            try:   # live HBM at pass end (allocator-wall diagnosis)
+                ms = jax.local_devices()[0].memory_stats() or {}
+                tm.setdefault("hbm_mb", []).append(
+                    int(ms.get("bytes_in_use", 0)) >> 20)
+            except Exception:   # noqa: BLE001 — backend may not expose it
+                pass
             if first and not did_split and not range_stack:
                 # everything resident: the single-pass fast path returns
                 # device arrays with n un-synced (callers fetch it)

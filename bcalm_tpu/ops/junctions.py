@@ -70,6 +70,58 @@ def strand_folded(k: int) -> bool:
     return ln.top_lane_bases(k - 1) < 16
 
 
+def exact_key_ops(k: int) -> int:
+    """Sort operand count of the exact-key junction sort (key lanes +
+    strand lane when it doesn't fold + 1 payload)."""
+    return ln.num_lanes(k - 1) + (0 if strand_folded(k) else 1) + 1
+
+
+def use_hash_keys(k: int) -> bool:
+    """Engage the 96-bit hashed junction keys when they reduce the sort
+    operand count (k-1 > 48 bases).  The hash sort is 4 operands for ANY
+    k (3 hash words + payload) vs L2+1(+1) for exact keys — at k=51 that
+    is a 20% sort-memory cut and at k=127 a 55% cut, which lifts the
+    single-chip junction-stage ceiling past 100M solid k-mers on 16 GB
+    (docs/OOC.md 'Single-chip compaction ceiling').
+
+    Exactness: two distinct (key, strand) sides colliding in all 96 bits
+    happens with probability ~n^2/2^97 (~5e-13 at n=2^28 entries) — far
+    below ambient soft-error rates; the exact path remains the default
+    whenever it is no wider than the hash sort."""
+    return exact_key_ops(k) > 4
+
+
+_H1 = np.uint32(0x85EBCA6B)
+_H2 = np.uint32(0xC2B2AE35)
+_H3 = np.uint32(0x27D4EB2F)
+_F1 = np.uint32(0x7FEB352D)
+_F2 = np.uint32(0x846CA68B)
+
+
+def _mix32(h: jnp.ndarray) -> jnp.ndarray:
+    """xorshift-multiply finalizer (murmur3/lowbias32 style)."""
+    h = h ^ (h >> np.uint32(16))
+    h = h * _F1
+    h = h ^ (h >> np.uint32(15))
+    h = h * _F2
+    return h ^ (h >> np.uint32(16))
+
+
+def _hash96(keys: jnp.ndarray):
+    """(L2, N) key lanes -> three independent u32 hash words
+    (multiplicative chains with distinct odd constants, finalized per
+    word)."""
+    h0 = jnp.full(keys.shape[1], np.uint32(0x9E3779B1), _U32)
+    h1 = jnp.full(keys.shape[1], np.uint32(0x61C88647), _U32)
+    h2 = jnp.full(keys.shape[1], np.uint32(0x2545F491), _U32)
+    for j in range(keys.shape[0]):
+        lane = keys[j]
+        h0 = (h0 ^ lane) * _H1 + np.uint32(j + 1)
+        h1 = (h1 ^ lane) * _H2 + np.uint32(2 * j + 1)
+        h2 = (h2 ^ lane) * _H3 + np.uint32(3 * j + 1)
+    return _mix32(h0), _mix32(h1), _mix32(h2)
+
+
 def _make_keys(keys: jnp.ndarray, strand: jnp.ndarray, valid, k: int):
     """Fold strand (and validity sentinel) into lane-major key lanes.
 
@@ -116,10 +168,6 @@ def successor_arrays(solid: jnp.ndarray, n_solid: jnp.ndarray, k: int):
     #   suffix side: sig=0 -> OUT(i),   sig=1 -> IN(i+N)
     #   prefix side: tau=0 -> IN(i),    tau=1 -> OUT(i+N)
     L2 = suf_c.shape[0]
-    keys = jnp.concatenate([
-        jnp.where((valid1 & ~suf_pal)[None], suf_c, SENTINEL),
-        jnp.where((valid1 & ~pre_pal)[None], pre_c, SENTINEL),
-    ], axis=1)
     oid_s = jnp.where(sig, ids + N, ids).astype(_U32)
     oid_p = jnp.where(tau, ids + N, ids).astype(_U32)
     role_s = sig.astype(_U32)        # ROLE_OUT=0 when sig=0
@@ -131,12 +179,29 @@ def successor_arrays(solid: jnp.ndarray, n_solid: jnp.ndarray, k: int):
 
     from bcalm_tpu.ops import sort_tpu
 
-    out = sort_tpu.sort_ops(
-        [keys[j] for j in range(L2)] + [payload], num_keys=L2)
-    s_keys = jnp.stack(out[:L2], axis=0)
-    s_pay = out[L2]
-
-    s_valid = s_keys[0] != SENTINEL
+    if use_hash_keys(k):
+        # 96-bit hashed keys: 4 sort operands for any k (see use_hash_keys)
+        vs = valid1 & ~suf_pal
+        vp = valid1 & ~pre_pal
+        hs = _hash96(suf_c)
+        hp = _hash96(pre_c)
+        kw = [jnp.concatenate([jnp.where(vs, hs[i], SENTINEL),
+                               jnp.where(vp, hp[i], SENTINEL)])
+              for i in range(3)]
+        out = sort_tpu.sort_ops(kw + [payload], num_keys=3)
+        s_keys = jnp.stack(out[:3], axis=0)
+        s_pay = out[3]
+        s_valid = ~jnp.all(s_keys == SENTINEL, axis=0)
+    else:
+        keys = jnp.concatenate([
+            jnp.where((valid1 & ~suf_pal)[None], suf_c, SENTINEL),
+            jnp.where((valid1 & ~pre_pal)[None], pre_c, SENTINEL),
+        ], axis=1)
+        out = sort_tpu.sort_ops(
+            [keys[j] for j in range(L2)] + [payload], num_keys=L2)
+        s_keys = jnp.stack(out[:L2], axis=0)
+        s_pay = out[L2]
+        s_valid = s_keys[0] != SENTINEL
     eq_prev = jnp.concatenate([
         jnp.zeros((1,), bool),
         jnp.all(s_keys[:, 1:] == s_keys[:, :-1], axis=0),

@@ -1406,8 +1406,11 @@ def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig,
     On the out-of-core path (multi-pass counting, host-resident distinct
     table) the histogram + solidity filter run in numpy and compaction
     restarts from the (much smaller) solid set."""
+    import time as _t
+    _t0 = _t.time()
     unique, counts, minpos, n_unique, stats = count_blocks(
         blocks, cfg, reread=reread)
+    stats["t_count_s"] = round(_t.time() - _t0, 2)
 
     def write_store(solid_np, counts_np, minpos_np, histo):
         if store is not None:
@@ -1431,10 +1434,12 @@ def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig,
         solid_np = unique[:, keep]
         write_store(solid_np, counts_np[keep],
                     None if minpos is None else minpos[keep], histo)
+        _t1 = _t.time()
         us = compact_from_counts(
             solid_np, counts_np[keep], cfg, only_uf=only_uf,
             uf_stats=uf_stats,
             minpos_np=None if minpos is None else minpos[keep])
+        stats["t_compact_s"] = round(_t.time() - _t1, 2)
         us.histogram = histo
         us.stats.update(stats)
         us.stats["unitigs"] = len(us.seqs)
@@ -1489,8 +1494,10 @@ def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig,
         capf = _fetch_capacity(n_solid)
         fetch_buf = _pack_fetch(solidC, countsC, posC, capf)
         fetch_buf.copy_to_host_async()
+    _t1 = _t.time()
     solid_r, counts_r, succ, info = compact_solid_pos(
         solid_d, counts_d, pos_d, n_solid, cfg.k)
+    stats["t_compact_s"] = round(_t.time() - _t1, 2)
     if fetch_buf is not None:
         arr = np.asarray(fetch_buf)
         L = ln.num_lanes(cfg.k)
@@ -1505,9 +1512,11 @@ def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig,
             stats=stats,
             chain_info={key: np.asarray(val) for key, val in info.items()},
         )
+    _t1 = _t.time()
     seqs, kc, abund, circular = assemble_unitigs(solid_r, counts_r, info,
                                                  cfg.k)
     links = link_join(seqs, cfg.k)
+    stats["t_assemble_s"] = round(_t.time() - _t1, 2)
     stats["unitigs"] = len(seqs)
     us = UnitigSet(
         k=cfg.k, seqs=seqs, kc=kc, abundances=abund, circular=circular,

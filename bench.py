@@ -209,31 +209,74 @@ def device_config(name, k, genome_len, coverage, read_len, chunk,
     }
 
 
-def _cached_reads_gz(genome_len, coverage, read_len, seed):
+def make_genome(genome_len, rng, repeat_frac=0.0):
+    """Random genome, optionally seeded with duplicated segments so the
+    de Bruijn graph has real junctions (repeat_frac of the length is
+    covered by copies of earlier segments, 500-5000 bp each — the
+    round-4 scale runs compacted uniform-random genomes to ONE unitig,
+    exercising no glue machinery at scale)."""
+    genome = rng.randint(0, 4, size=genome_len).astype(np.uint8)
+    target = int(genome_len * repeat_frac)
+    placed = 0
+    while placed < target:
+        seg_len = int(rng.randint(500, 5001))
+        src = int(rng.randint(0, genome_len - seg_len))
+        dst = int(rng.randint(0, genome_len - seg_len))
+        genome[dst:dst + seg_len] = genome[src:src + seg_len]
+        placed += seg_len
+    return genome
+
+
+def sample_reads(genome, n_reads, read_len, rng, err_rate=0.0):
+    """(n_reads, read_len) uint8 codes; substitution errors at err_rate
+    (error k-mers inflate the distinct set ~k-fold per error — the
+    realistic counting load real Illumina data presents)."""
+    starts = rng.randint(0, genome.shape[0] - read_len, size=n_reads)
+    reads = genome[starts[:, None] + np.arange(read_len)[None, :]].copy()
+    if err_rate > 0:
+        n_err = rng.binomial(n_reads * read_len, err_rate)
+        pos_r = rng.randint(0, n_reads, size=n_err)
+        pos_c = rng.randint(0, read_len, size=n_err)
+        shift = rng.randint(1, 4, size=n_err).astype(np.uint8)
+        reads[pos_r, pos_c] = (reads[pos_r, pos_c] + shift) % 4
+    return reads
+
+
+def _cached_reads_gz(genome_len, coverage, read_len, seed,
+                     repeat_frac=0.0, err_rate=0.0):
     """Generate (once) and cache the e2e input FASTA: input generation
     cost 47s of driver budget per run in round 3."""
     import gzip
 
     cache_dir = os.environ.get("BENCH_CACHE_DIR", "/tmp/btpu_bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
+    tag = ""
+    if repeat_frac or err_rate:
+        tag = f"_r{repeat_frac:g}_e{err_rate:g}"
     path = os.path.join(
-        cache_dir, f"reads_g{genome_len}_c{coverage}_l{read_len}_s{seed}.fa.gz")
+        cache_dir,
+        f"reads_g{genome_len}_c{coverage}_l{read_len}_s{seed}{tag}.fa.gz")
     if os.path.exists(path) and os.path.getsize(path) > 0:
         log(f"[e2e] cached input {path} ({os.path.getsize(path)>>20} MB)")
         return path
     rng = np.random.RandomState(seed)
-    genome = rng.randint(0, 4, size=genome_len).astype(np.uint8)
+    genome = make_genome(genome_len, rng, repeat_frac)
     lut = np.frombuffer(b"ACTG", np.uint8)
     n_reads = genome_len * coverage // read_len
-    starts = rng.randint(0, genome_len - read_len, size=n_reads)
     t0 = time.time()
     tmp = path + ".tmp"
     with gzip.open(tmp, "wb", compresslevel=1) as f:
-        codes = lut[genome[starts[:, None] + np.arange(read_len)[None, :]]]
-        lines = b"\n".join(
-            b">r%d\n%s" % (i, codes[i].tobytes()) for i in range(n_reads)
-        ) + b"\n"
-        f.write(lines)
+        # chunked generation: 30M-read scale inputs exceed RAM if
+        # materialized as one (n_reads, read_len) array + joined bytes
+        chunk_r = 1_000_000
+        for base in range(0, n_reads, chunk_r):
+            m = min(chunk_r, n_reads - base)
+            codes = lut[sample_reads(genome, m, read_len, rng, err_rate)]
+            lines = b"\n".join(
+                b">r%d\n%s" % (base + i, codes[i].tobytes())
+                for i in range(m)
+            ) + b"\n"
+            f.write(lines)
     os.replace(tmp, path)
     log(f"[e2e] wrote {n_reads} reads ({os.path.getsize(path)>>20} MB gz) "
         f"in {time.time()-t0:.1f}s")
@@ -241,18 +284,22 @@ def _cached_reads_gz(genome_len, coverage, read_len, seed):
 
 
 def cli_config(name, genome_len, coverage, read_len, k, seed,
-               extra_args=(), check=False):
+               extra_args=(), check=False, repeat_frac=0.0, err_rate=0.0):
     """Full CLI run: gzipped FASTA on disk -> unitigs.fa (native ingest,
-    counting, compaction, links, write).  Wall-clock + peak RSS.
+    counting, compaction, links, write).  Wall-clock + peak RSS +
+    stage-derived glued/s.
 
     check=True: run the sampled k-mer-content oracle
     (scripts/sampled_check.py) on the output before cleanup and carry
     its verdict in the metrics (the scale configs' correctness
-    evidence)."""
+    evidence).  repeat_frac/err_rate make the input realistic (junction-
+    rich repeats, error-inflated distinct sets)."""
     import shutil
     import tempfile
 
-    reads_path = _cached_reads_gz(genome_len, coverage, read_len, seed)
+    reads_path = _cached_reads_gz(genome_len, coverage, read_len, seed,
+                                  repeat_frac=repeat_frac,
+                                  err_rate=err_rate)
     n_reads = genome_len * coverage // read_len
     d = tempfile.mkdtemp(prefix="btpu_bench_")
     local = os.path.join(d, "reads.fa.gz")
@@ -280,6 +327,7 @@ def cli_config(name, genome_len, coverage, read_len, k, seed,
         return {"error": proc.returncode}
     peak_mb = None
     n_unitigs = None
+    vals = {}
     for line in proc.stdout.splitlines():
         if "peak_rss_mb" in line:
             peak_mb = int(line.split()[-1])
@@ -287,11 +335,15 @@ def cli_config(name, genome_len, coverage, read_len, k, seed,
             n_unitigs = int(line.split()[1])
         if "[time:" in line:
             log(f"[{name}] {line.strip()}")
+        for key in ("t_count_s", "t_compact_s", "t_assemble_s",
+                    "solid_kmers", "distinct_kmers"):
+            if f"[{key}]" in line:
+                vals[key] = float(line.split()[-1])
     out_path = os.path.join(d, "reads.unitigs.fa")
     out_mb = os.path.getsize(out_path) >> 20 if os.path.exists(out_path) else 0
     occ = n_reads * (read_len - k + 1)
     log(f"[{name}] {wall:.1f}s wall, {occ} occ -> {n_unitigs} unitigs "
-        f"({out_mb} MB), peak RSS {peak_mb} MB")
+        f"({out_mb} MB), peak RSS {peak_mb} MB, stage {vals}")
     res = {
         "k": k,
         "kmer_occ": occ,
@@ -300,6 +352,12 @@ def cli_config(name, genome_len, coverage, read_len, k, seed,
         "peak_rss_mb": peak_mb,
         "n_unitigs": n_unitigs,
     }
+    if vals.get("t_compact_s") and vals.get("solid_kmers"):
+        res["n_solid"] = int(vals["solid_kmers"])
+        res["glued_per_sec"] = round(
+            vals["solid_kmers"] / vals["t_compact_s"], 1)
+    if vals.get("t_count_s"):
+        res["kmers_per_sec_count"] = round(occ / vals["t_count_s"], 1)
     if check and os.path.exists(out_path):
         chk = subprocess.run(
             [sys.executable,
@@ -392,25 +450,29 @@ def main():
         resident=1))
     if os.environ.get("BENCH_SCALE"):
         # C. elegans-class scale (BASELINE.md configs), opt-in because
-        # generation + runs exceed the default driver budget.  Two
-        # shapes, both ~3G occurrences end-to-end through the CLI:
-        #   celegans:  the named 100 Mbp genome at 30x, k=31 (~100M
-        #              distinct; multi-pass counting + compaction fit)
-        #   bigk51_3g: k=51 at 50 Mbp x60 (~50M distinct) — the
-        #              junction stage of a 100M-solid k=51 set needs
-        #              ~13 GB of sort workspace and exceeds this chip's
-        #              16 GB HBM; 50M solid fits (docs/OOC.md)
-        # 100 Mbp x40 k=31 (3.2G occ, 100M distinct) OOMs this chip
-        # near pass-1 end (opaque axon ResourceExhausted with merges
-        # capped at 2^26 concat — allocator-level, not modelled);
-        # halve the genome and double coverage: same >=3G occurrence
-        # load, 50M distinct (the memory class bigk51_3g proved)
+        # generation + runs exceed the default driver budget.  All three
+        # use REALISTIC inputs (8% duplicated segments -> junction-rich
+        # graphs with ~1M+ unitigs; 0.1-0.3% substitution errors ->
+        # error-inflated distinct sets, the load real Illumina data
+        # presents), unlike the round-4 runs whose uniform-random
+        # genomes compacted to n_unitigs=1:
+        #   celegans:   the named 100 Mbp genome, k=31, 30x, errors on
+        #               (~100M genomic + error distinct)
+        #   realistic2g: 30 Mbp x70 k=31 (2.1G occ) with repeats+errors
+        #   bigk51_3g:  k=51 at 50 Mbp x60 — hashed junction keys lift
+        #               the old 13 GB exact-key sort ceiling
         run_config("celegans", lambda: cli_config(
-            "celegans", 50_000_000, 90, 150, 31, seed=7,
-            extra_args=("-max-memory", "8000"), check=True))
+            "celegans", 100_000_000, 30, 150, 31, seed=7,
+            extra_args=("-max-memory", "8000"), check=True,
+            repeat_frac=0.05, err_rate=0.001))
+        run_config("realistic2g", lambda: cli_config(
+            "realistic2g", 30_000_000, 70, 150, 31, seed=9,
+            extra_args=("-max-memory", "8000"), check=True,
+            repeat_frac=0.08, err_rate=0.003))
         run_config("bigk51_3g", lambda: cli_config(
             "bigk51_3g", 50_000_000, 60, 150, 51, seed=8,
-            extra_args=("-max-memory", "8000"), check=True))
+            extra_args=("-max-memory", "8000"), check=True,
+            repeat_frac=0.05, err_rate=0.001))
     if skipped:
         out["skipped_over_budget"] = skipped
 

@@ -78,7 +78,10 @@ def seq_kmer_hashes(seq_bytes: bytes, k: int) -> np.ndarray:
     s2 = np.cumsum(rc * pows)
     s2_prev = np.concatenate([np.zeros(1, np.uint64), s2[:-1]])
     hr = (s2[k - 1:] - s2_prev[:P]) * pinv[:P]
-    h = _mix(hf + hr)
+    # mix BEFORE the symmetric sum: the raw polynomials satisfy
+    # Δpoly_fwd = -Δpoly_rc when the center base of an odd-k window is
+    # complemented, so mix(hf+hr) collided on exactly those pairs
+    h = _mix(_mix(hf) + _mix(hr))
     if bad.any():
         cs = np.cumsum(bad.astype(np.int64))
         span_bad = (cs[k - 1:] - np.concatenate([[0], cs[:P - 1]])) > 0

@@ -70,6 +70,13 @@ def build_parser() -> OptionsParser:
                visible=False)
     # TPU-specific
     p.one_param("-devices", "number of devices to use (0 = all)", default="0")
+    p.one_param("-server", "serve build requests on a unix socket "
+                           "(keep-alive mode: amortizes backend init + "
+                           "program loads across invocations)",
+                default=None, visible=False)
+    p.one_param("-connect", "send this command line to a -server socket "
+                            "instead of running locally",
+                default=None, visible=False)
     p.no_param("-version", "show version")
     p.no_param("-help", "show this help")
     p.no_param("-h", "show this help", visible=False)
@@ -178,11 +185,83 @@ def _input_blocks(bank, cfg, verbose: int, nb_cores: int = 0):
         )
 
 
+def serve(socket_path: str) -> int:
+    """Keep-alive server: one process holds the initialized backend and
+    every loaded program; each connection carries one JSON request
+    {"argv": [...]} and receives {"rc": N, "output": "..."} (the
+    VERDICT-r4 'per-invocation fixed overhead' mitigation — ~10s backend
+    init + 2-3s per cached-program load on the tunneled runtime are paid
+    once instead of per run; docs/COMPILE.md finding 7)."""
+    import contextlib
+    import io
+    import json
+    import socket as socket_mod
+
+    if os.path.exists(socket_path):
+        os.unlink(socket_path)
+    srv = socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM)
+    srv.bind(socket_path)
+    srv.listen(4)
+    print(f"bcalm-tpu server listening on {socket_path}", flush=True)
+    while True:
+        conn, _ = srv.accept()
+        with conn:
+            data = b""
+            while not data.endswith(b"\n"):
+                chunk = conn.recv(1 << 16)
+                if not chunk:
+                    break
+                data += chunk
+            if not data.strip():
+                continue
+            req = json.loads(data)
+            if req.get("op") == "shutdown":
+                conn.sendall(b'{"rc": 0, "output": "bye"}\n')
+                return 0
+            buf = io.StringIO()
+            try:
+                with contextlib.redirect_stdout(buf):
+                    rc = main(list(req["argv"]))
+            except SystemExit as e:   # argv errors
+                rc = int(e.code or 0)
+            except Exception as e:    # noqa: BLE001 — report, keep serving
+                buf.write(f"server error: {e!r}\n")
+                rc = 1
+            conn.sendall(json.dumps(
+                {"rc": rc, "output": buf.getvalue()}).encode() + b"\n")
+
+
+def connect(socket_path: str, argv: List[str]) -> int:
+    """Client side of -server: forward one command line, print output."""
+    import json
+    import socket as socket_mod
+
+    cli = socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM)
+    cli.connect(socket_path)
+    cli.sendall(json.dumps({"argv": argv}).encode() + b"\n")
+    data = b""
+    while not data.endswith(b"\n"):
+        chunk = cli.recv(1 << 16)
+        if not chunk:
+            break
+        data += chunk
+    resp = json.loads(data)
+    sys.stdout.write(resp.get("output", ""))
+    return int(resp.get("rc", 1))
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if "-version" in argv or "--version" in argv:
         print(version_string())
         return 0
+    if "-server" in argv:
+        return serve(argv[argv.index("-server") + 1])
+    if "-connect" in argv:
+        i = argv.index("-connect")
+        sock = argv[i + 1]
+        rest = argv[:i] + argv[i + 2:]
+        return connect(sock, rest)
     parser = build_parser()
     try:
         props = parser.parse(argv)

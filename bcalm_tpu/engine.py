@@ -654,10 +654,12 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
                 hi_x = mid
         return t / (0.5 * (lo_x + hi_x))
 
-    # saturation anchor for the CURRENT range: (exact distinct, in-range
-    # occ seen) at the last full merge — lets the overflow trigger use a
-    # duplicate-corrected projection instead of the raw run-sum
-    anchor = [0, 0]   # [m_exact, t_at_merge]
+    # saturation anchor for the CURRENT range: exact distinct + in-range
+    # occ at the last full merge, plus the LEARNED dedup ratio rho =
+    # (new distinct) / (new raw run mass) observed across that merge —
+    # lets the overflow trigger use duplicate-corrected estimates
+    # instead of the raw run-sum
+    anchor = [0, 0, 1.0]   # [m_exact, t_at_merge, rho]
 
     def projected_distinct() -> int:
         """Duplicate-corrected estimate of the range's current distinct
@@ -669,7 +671,7 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
         m(t) = G*(1-exp(-t/G)) and clamp to [m0, m0 + sum of new runs]
         (the true bounds)."""
         raw = resident_n()
-        m0, t0 = anchor
+        m0, t0 = anchor[0], anchor[1]
         if m0 <= 0 or t_seen <= t0:
             return raw
         if m0 >= 0.98 * t0:
@@ -695,33 +697,51 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
         ConfigurationAlgorithm pass sizing).  Re-runs reactively if the
         kept range still overflows later.
 
-        Triggers for the FULL merge + exact check: the duplicate-
-        corrected projection (projected_distinct) crossing the distinct
-        budget, or resident SLOTS crossing 3x the budget.  The slots
-        valve is the safety net for streams that defeat the projection
-        (positional genome scans look locally saturated — the i.i.d.
-        rarefaction model then converges BELOW the true distinct count
-        and would never re-check): the LSM tower's slot growth tracks
-        the raw run mass, so an exact check happens at least once per
-        ~budget of new mass.  Between checks the true distinct may
-        transiently overshoot the budget by the window; the 80 B/slot
-        memory model (configure_chunk) absorbs a 3x slot transient."""
+        Triggers for the FULL merge + exact check:
+        (1) the duplicate-corrected projection (projected_distinct)
+            crossing the distinct budget;
+        (2) the LEARNED-dedup estimate m0 + 1.2*rho*(raw - m0) crossing
+            the budget, where rho is the (new distinct)/(new raw mass)
+            ratio observed across the previous exact merge — this covers
+            streams that defeat the i.i.d. rarefaction projection
+            (positional genome scans look locally saturated, so the
+            model can converge BELOW the true distinct count): a
+            duplicate-free adversary keeps rho ~ 1 and re-checks right
+            at the budget line, while a saturated range drives rho to
+            the 2% floor and re-checks only once per ~budget/0.024 of
+            new mass;
+        (3) resident SLOTS crossing 8x the budget — a pure memory
+            backstop.  It almost never fires: the LSM generation ladder
+            (merge_generations) bounds steady-state slots at a few
+            saturated run capacities (~4-6x budget) on its own, and the
+            80 B/slot memory model (configure_chunk) covers that.
+        A slots-based 3x valve here previously re-merged the dominant
+        run once per ~chunk at 100M-distinct scale (399 force merges,
+        434s of a 665s run) — the learned-dedup spacing keeps the exact
+        checks amortized against the LSM ladder instead."""
         nonlocal hi_np, hi_d, resident_slots, did_split, refilter_pending
         nonlocal t_seen
         budget = max(cfg.resident_kmers, 2 * (chunk_cap or 0))
         if not partials:
             return
+        raw = resident_n()
+        m0 = anchor[0]
+        est = m0 + 1.2 * anchor[2] * max(0, raw - m0)
         if (projected_distinct() <= budget
-                and resident_slots <= 3 * budget):
+                and est <= budget
+                and resident_slots <= 8 * budget):
             return
         _tm0 = _time.time()
         force_merge_all()
         tm["split_merge"] = round(
             tm.get("split_merge", 0.0) + _time.time() - _tm0, 3)
         tm["n_force_merges"] = tm.get("n_force_merges", 0) + 1
-        anchor[0] = resident_n()
+        m_new = resident_n()
+        new_mass = max(1, raw - m0)
+        anchor[2] = float(np.clip((m_new - m0) / new_mass, 0.02, 1.0))
+        anchor[0] = m_new
         anchor[1] = t_seen
-        if resident_n() <= budget:
+        if m_new <= budget:
             # the overflow was cross-run duplicate inflation; the merge
             # collapsed it — no split needed
             return
@@ -786,6 +806,7 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
         anchor[0] = resident_n()
         t_seen = max(1, int(t_seen * anchor[0] / max(1, m2)))
         anchor[1] = t_seen
+        anchor[2] = 1.0   # fresh learning for the narrowed range
 
     def settle_pending():
         """Materialize the PREVIOUS chunk's distinct count and trim it.
@@ -1042,6 +1063,7 @@ def count_blocks(blocks: Iterable[packing.ReadBlock], cfg: EngineConfig,
             lo_d = jnp.asarray(lo_np)
             hi_d = jnp.asarray(hi_np)
             anchor[0] = anchor[1] = 0  # fresh range: no saturation anchor
+        anchor[2] = 1.0
     finally:
         dev_cache.clear()   # release the HBM block cache
         if cache is not None:
@@ -1231,6 +1253,113 @@ def assemble_unitigs(
     return seqs, kc, abund, circular
 
 
+@_partial(jax.jit, static_argnames=("k", "total_cap", "mem_cap", "u_cap"))
+def _assemble_dev(solid, counts, uid, rank, length, start_oid, n_u,
+                  k: int, total_cap: int, mem_cap: int, u_cap: int):
+    """Device-side unitig spelling (assemble_unitigs' scatter phase).
+
+    The host version fetched uid/rank (2C,) plus the solid table to spell
+    unitigs in numpy — ~500 MB device->host at E. coli scale, ~14s of the
+    e2e wall on the ~30 MB/s tunneled link.  Spelling on device reduces
+    the fetch to the 2-bit-decoded byte string (u8, ~n_solid bytes), the
+    member-ordered counts (u32, n_solid), and per-unitig scalars.
+
+    Returns (codes u8 (total_cap,), counts_sorted u32 (mem_cap,),
+    len_u (u_cap,), start_u (u_cap,), circ_u handled by caller).
+    """
+    L, C = solid.shape[0], solid.shape[1]
+    M = uid.shape[0]          # 2C oriented nodes
+    idx2 = jnp.arange(M, dtype=jnp.int32)
+    member = uid >= 0
+    vertex = jnp.where(idx2 >= C, idx2 - C, idx2)
+    orient = idx2 >= C
+
+    # ---- per-unitig sequence offsets ----
+    iu = jnp.arange(u_cap, dtype=jnp.int32)
+    valid_u = iu < n_u
+    len_u = jnp.where(valid_u, length[:u_cap], 0)
+    seq_len = jnp.where(valid_u, len_u + (k - 1), 0)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(seq_len)])
+
+    # ---- member writes: last base of each oriented k-mer ----
+    r = ln.top_lane_bases(k)
+    v = jnp.clip(vertex, 0, C - 1)
+    first_b = ((solid[0, v] >> np.uint32(2 * (r - 1))) & 3).astype(jnp.uint8)
+    last_b_f = (solid[L - 1, v] & 3).astype(jnp.uint8)
+    last_b = jnp.where(orient, first_b ^ 2, last_b_f)
+    uid_c = jnp.clip(uid, 0, u_cap - 1)
+    dest = jnp.where(member,
+                     jnp.take(offsets, uid_c) + (k - 1) + rank,
+                     total_cap)
+    codes = jnp.zeros((total_cap,), jnp.uint8).at[dest].set(
+        last_b, mode="drop")
+
+    # ---- start k-mer spelling (k bases per unitig) ----
+    so = start_oid[:u_cap]
+    sv = jnp.clip(jnp.where(so >= C, so - C, so), 0, C - 1)
+    s_lanes = solid[:, sv]                      # (L, u_cap) gather
+    fwd = []
+    for j in range(k):
+        if j < r:
+            lane, shift = 0, 2 * (r - 1 - j)
+        else:
+            t = j - r
+            lane, shift = 1 + t // 16, 2 * (15 - t % 16)
+        fwd.append(((s_lanes[lane] >> np.uint32(shift)) & 3)
+                   .astype(jnp.uint8))
+    rev = [b ^ 2 for b in reversed(fwd)]
+    s_rev = so >= C
+    start_codes = [jnp.where(s_rev, rv, fw) for fw, rv in zip(fwd, rev)]
+    base_dest = jnp.where(valid_u, offsets[:u_cap], total_cap)
+    for j in range(k):
+        codes = codes.at[base_dest + j].set(start_codes[j], mode="drop")
+
+    # ---- member-ordered counts (abundance vectors + KC sums, host
+    # reduceat): sort members by (uid, rank) ----
+    from bcalm_tpu.ops import sort_tpu
+    key_u = jnp.where(member, uid.astype(jnp.uint32), count_op.SENTINEL)
+    key_r = rank.astype(jnp.uint32)
+    w = jnp.take(counts, v).astype(jnp.uint32)
+    out = sort_tpu.sort_ops([key_u, key_r, w], num_keys=2)
+    counts_sorted = out[2][:mem_cap]
+    return codes, counts_sorted, len_u, offsets[:u_cap]
+
+
+def assemble_unitigs_device(solid, counts, info, k: int, n_unitigs: int,
+                            n_solid: int):
+    """Device-side assembly wrapper: spells unitigs on device, fetches
+    only bytes + member counts + per-unitig scalars, and finishes the
+    string slicing in numpy.  Drop-in for assemble_unitigs when the
+    inputs are device arrays."""
+    if n_unitigs == 0:
+        return [], np.zeros(0, np.int64), [], np.zeros(0, bool)
+    u_cap = _round_capacity(max(1, n_unitigs))
+    u_cap = min(u_cap, int(np.asarray(info["length"]).shape[0]))
+    mem_cap = min(_round_capacity(max(1, n_solid)), int(info["uid"].shape[0]))
+    total = n_solid + (k - 1) * n_unitigs
+    total_cap = _round_capacity(max(1, total))
+    codes_d, counts_d, len_d, _ = _assemble_dev(
+        solid, counts, info["uid"], info["rank"], info["length"],
+        info["start_oid"], jnp.asarray(n_unitigs, jnp.int32),
+        k, total_cap, mem_cap, u_cap)
+    codes_d.copy_to_host_async()
+    counts_d.copy_to_host_async()
+    codes = np.asarray(codes_d)
+    mcounts = np.asarray(counts_d)[:n_solid].astype(np.int64)
+    length = np.asarray(len_d)[:n_unitigs].astype(np.int64)
+    circular = np.asarray(info["circular"])[:n_unitigs]
+    seq_len = length + (k - 1)
+    offsets = np.concatenate([[0], np.cumsum(seq_len)])
+    ascii_all = dna.CODE_TO_ASCII[codes[:offsets[-1]]].tobytes()
+    seqs = [ascii_all[offsets[u]: offsets[u + 1]].decode()
+            for u in range(n_unitigs)]
+    run_bounds = np.concatenate([[0], np.cumsum(length)])
+    kc = np.add.reduceat(mcounts, run_bounds[:-1])
+    abund = np.split(mcounts.astype(np.int32), run_bounds[1:-1])
+    return seqs, kc, abund, circular
+
+
 def _pack_ends(codes: np.ndarray) -> np.ndarray:
     """(E, k-1) uint8 base codes -> (E, W) uint64 packed key columns."""
     E, m = codes.shape
@@ -1377,7 +1506,10 @@ def compact_from_counts(solid_np: np.ndarray, counts_np: np.ndarray,
             circular=np.zeros(0, bool), links=[], stats=stats,
             chain_info={key: np.asarray(val) for key, val in info.items()},
         )
-    seqs, kc, abund, circular = assemble_unitigs(solid, counts, info, cfg.k)
+    seqs, kc, abund, circular = assemble_unitigs_device(
+        solid, counts, {key: jnp.asarray(np.asarray(val))
+                        for key, val in info.items()},
+        cfg.k, int(np.asarray(info["n_unitigs"])), n_solid)
     links = link_join(seqs, cfg.k)
     stats["unitigs"] = len(seqs)
     return UnitigSet(
@@ -1513,8 +1645,8 @@ def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig,
             chain_info={key: np.asarray(val) for key, val in info.items()},
         )
     _t1 = _t.time()
-    seqs, kc, abund, circular = assemble_unitigs(solid_r, counts_r, info,
-                                                 cfg.k)
+    seqs, kc, abund, circular = assemble_unitigs_device(
+        solid_r, counts_r, info, cfg.k, int(info["n_unitigs"]), n_solid)
     links = link_join(seqs, cfg.k)
     stats["t_assemble_s"] = round(_t.time() - _t1, 2)
     stats["unitigs"] = len(seqs)

@@ -373,6 +373,85 @@ def cli_config(name, genome_len, coverage, read_len, k, seed,
     return res
 
 
+def server_config(name, genome_len, coverage, read_len, k, seed,
+                  extra_args=()):
+    """e2e through the -server keep-alive mode: the same CLI build runs
+    twice in one long-lived process; run 2's wall is the steady-state
+    cost (backend init + cached-program loads amortized away — the
+    VERDICT-r4 'per-invocation fixed overhead' item)."""
+    import json
+    import shutil
+    import socket as socket_mod
+    import tempfile
+
+    reads_path = _cached_reads_gz(genome_len, coverage, read_len, seed)
+    n_reads = genome_len * coverage // read_len
+    occ = n_reads * (read_len - k + 1)
+    d = tempfile.mkdtemp(prefix="btpu_srv_")
+    local = os.path.join(d, "reads.fa.gz")
+    os.symlink(reads_path, local)
+    sock = os.path.join(d, "srv.sock")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.abspath(__file__))]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+    srv = subprocess.Popen(
+        [sys.executable, "-m", "bcalm_tpu", "-server", sock],
+        cwd=d, env=env, stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
+    try:
+        for _ in range(120):
+            if os.path.exists(sock):
+                break
+            time.sleep(0.5)
+
+        def run_once(tag):
+            cli = socket_mod.socket(socket_mod.AF_UNIX,
+                                    socket_mod.SOCK_STREAM)
+            cli.settimeout(1800)
+            cli.connect(sock)
+            argv = ["-in", local, "-kmer-size", str(k),
+                    "-abundance-min", "2", "-out", os.path.join(d, tag),
+                    "-verbose", "1", *extra_args]
+            t0 = time.time()
+            cli.sendall(json.dumps({"argv": argv}).encode() + b"\n")
+            data = b""
+            while not data.endswith(b"\n"):
+                chunk = cli.recv(1 << 16)
+                if not chunk:
+                    break
+                data += chunk
+            wall = time.time() - t0
+            resp = json.loads(data)
+            return wall, resp
+
+        w1, r1 = run_once("w1")
+        w2, r2 = run_once("w2")
+        if r1.get("rc") or r2.get("rc"):
+            return {"error": f"rc {r1.get('rc')}/{r2.get('rc')}"}
+        n_unitigs = None
+        for line in r2.get("output", "").splitlines():
+            if line.startswith("wrote "):
+                n_unitigs = int(line.split()[1])
+        log(f"[{name}] warm wall {w2:.1f}s (first-through-server "
+            f"{w1:.1f}s), {occ} occ = {occ/w2/1e6:.1f}M occ/s e2e warm")
+        return {
+            "k": k,
+            "kmer_occ": occ,
+            "wall_warm_s": round(w2, 1),
+            "wall_first_s": round(w1, 1),
+            "kmers_per_sec_e2e_warm": round(occ / w2, 1),
+            "n_unitigs": n_unitigs,
+        }
+    finally:
+        srv.terminate()
+        try:
+            srv.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            srv.kill()
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main():
     import jax
 
@@ -442,12 +521,22 @@ def main():
         "e2e",
         int(os.environ.get("BENCH_E2E_GENOME", 4_600_000)),
         int(os.environ.get("BENCH_E2E_COVERAGE", 50)), 150, 31, seed=1))
+    # steady-state e2e: same build through the -server keep-alive mode
+    # (cold-process fixed overhead amortized; docs/COMPILE.md finding 7)
+    run_config("e2e_warm", lambda: server_config(
+        "e2e_warm",
+        int(os.environ.get("BENCH_E2E_GENOME", 4_600_000)),
+        int(os.environ.get("BENCH_E2E_COVERAGE", 50)), 150, 31, seed=1))
     run_config("spill31", lambda: device_config(
         "spill31", 31, 12_000_000, 15, 150, 4 * 1024 * 1024, runs=1,
         seed=4, resident=1))
     run_config("bigk51", lambda: device_config(
         "bigk51", 51, 20_000_000, 8, 150, chunk, runs=1, seed=3,
         resident=1))
+    # human-chr1-shaped span (BASELINE.md's last named config, k=63):
+    # resident-path counting + hashed-junction-key compaction at L=4
+    run_config("bigk63", lambda: device_config(
+        "bigk63", 63, 20_000_000, 8, 150, chunk, runs=2, seed=5))
     if os.environ.get("BENCH_SCALE"):
         # C. elegans-class scale (BASELINE.md configs), opt-in because
         # generation + runs exceed the default driver budget.  All three

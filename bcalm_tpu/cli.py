@@ -154,7 +154,12 @@ def _adapt_max_len(bank, cfg, max_memory_mb: int = 0) -> None:
 
 def _input_blocks(bank, cfg, verbose: int, nb_cores: int = 0):
     """Packed-block stream: native C++ parser when available (with host
-    prefetch overlapping device compute), else python."""
+    prefetch overlapping device compute), else python.
+
+    One big file (the common production case) fans its decompressed
+    stream out to a parse-worker pool (io.parallel_ingest — the gatb
+    Dispatcher -nb-cores analog, SURVEY.md §3.2); multiple files fan out
+    per file as before."""
     from bcalm_tpu.io import bank_binary, native as native_mod
     from bcalm_tpu.io import packing
     from bcalm_tpu.utils import dispatcher
@@ -168,7 +173,16 @@ def _input_blocks(bank, cfg, verbose: int, nb_cores: int = 0):
     if native_mod.available():
         if verbose > 1:
             print("using native ingest (libbcalmio)")
-        workers = nb_cores if nb_cores > 0 else min(4, max(1, len(bank.paths)))
+        workers = nb_cores if nb_cores > 0 else min(4, max(2, len(bank.paths)))
+        if (len(bank.paths) == 1 and workers > 1
+                and native_mod.mem_available()):
+            from bcalm_tpu.io import parallel_ingest
+
+            yield from dispatcher.prefetch(
+                parallel_ingest.iter_blocks_parallel(
+                    bank.paths[0], cfg.k, block_reads=cfg.block_reads,
+                    max_len=cfg.max_len, n_workers=workers))
+            return
         yield from dispatcher.parallel_files(
             bank.paths,
             lambda p: native_mod.iter_blocks_native(
@@ -453,12 +467,18 @@ def main(argv: Optional[List[str]] = None) -> int:
             from bcalm_tpu.utils.logging import Progress
 
             progress = Progress("reads packed", enabled=verbose >= 1)
+            ingest_t = {"t0": None, "t1": None, "bases": 0}
 
             def counted_blocks(b=None):
+                import time as _t
                 src = b if b is not None else bank
+                if ingest_t["t0"] is None:
+                    ingest_t["t0"] = _t.time()
                 for blk in _input_blocks(src, cfg, verbose,
                                          nb_cores=props.get_int("-nb-cores")):
                     progress.update(int((blk.lengths > 0).sum()))
+                    ingest_t["bases"] += int(blk.lengths.sum())
+                    ingest_t["t1"] = _t.time()
                     yield blk
 
             import numpy as np
@@ -513,6 +533,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                     uf_stats=props.get_bool("-uf-stats"),
                     solidity_kind=solidity_kind)
             progress.done()
+            if built_us is not None and ingest_t["t1"]:
+                # stream rate measured over the packing loop (overlapped
+                # with device compute, so a lower bound on parser speed)
+                dt = max(1e-6, ingest_t["t1"] - ingest_t["t0"])
+                built_us.stats["ingest_mbps"] = round(
+                    ingest_t["bases"] / 1e6 / dt, 1)
             if auto_amin and verbose:
                 print(f"auto abundance-min = {cfg.abundance_min}")
         if solid is not None:

@@ -48,6 +48,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
     ]
     lib.btpu_close.argtypes = [ctypes.c_void_p]
+    try:
+        lib.btpu_open_mem.restype = ctypes.c_void_p
+        lib.btpu_open_mem.argtypes = [ctypes.c_char_p, ctypes.c_long]
+    except AttributeError:   # stale library without the mem entry point
+        pass
     _lib = lib
     return _lib
 
@@ -71,6 +76,10 @@ def iter_blocks_native(path: str, k: int, block_reads: int = 4096,
     handle = lib.btpu_open(path.encode())
     if not handle:
         raise IOError(f"cannot open sequence file: {path}")
+    yield from _drain_handle(lib, handle, k, block_reads, width)
+
+
+def _drain_handle(lib, handle, k, block_reads, width):
     try:
         while True:
             words = np.zeros((block_reads, width), dtype=np.uint32)
@@ -87,3 +96,25 @@ def iter_blocks_native(path: str, k: int, block_reads: int = 4096,
                 break
     finally:
         lib.btpu_close(handle)
+
+
+def mem_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "btpu_open_mem") \
+        and lib.btpu_open_mem.restype is ctypes.c_void_p
+
+
+def parse_chunk_native(chunk: bytes, k: int, block_reads: int = 4096,
+                       max_len: int = 512):
+    """Parse one record-aligned decompressed chunk into ReadBlocks (the
+    worker body of the parallel single-file ingest; the ctypes call
+    releases the GIL, so a thread pool scales)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ingest library unavailable")
+    max_len = max(max_len, k, BASES_PER_WORD)
+    width = (max_len + BASES_PER_WORD - 1) // BASES_PER_WORD
+    handle = lib.btpu_open_mem(chunk, len(chunk))
+    if not handle:
+        return []
+    return list(_drain_handle(lib, handle, k, block_reads, width))

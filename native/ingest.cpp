@@ -46,17 +46,48 @@ enum Format { FMT_BAD = 0, FMT_FASTA, FMT_FASTQ };
 
 class Reader {
  public:
-  explicit Reader(const char* path) : f_(gzopen(path, "rb")) {
+  explicit Reader(const char* path)
+      : f_(gzopen(path, "rb")), storage_(1 << 20) {
+    inbuf_ = storage_.data();
     if (f_ != nullptr) {
       gzbuffer(f_, 1 << 20);
       sniff();
     }
   }
+
+  // Memory-buffer reader: parses one record-aligned DECOMPRESSED chunk
+  // (the parallel single-file ingest path: a decompress thread feeds
+  // record-aligned chunks to a pool of these, since gzip inflation is
+  // inherently serial but parsing/packing is not).  The caller must
+  // keep `data` alive until btpu_close.
+  Reader(const uint8_t* data, size_t len)
+      : mem_data_(data), mem_len_(len) {
+    mem_mode_ = true;
+    // sniff over memory: skip leading whitespace
+    size_t i = 0;
+    while (i < len && (data[i] == '\n' || data[i] == '\r' ||
+                       data[i] == ' ' || data[i] == '\t'))
+      ++i;
+    if (i < len && data[i] == '>')
+      fmt_ = FMT_FASTA;
+    else if (i < len && data[i] == '@')
+      fmt_ = FMT_FASTQ;
+    else
+      fmt_ = FMT_BAD;
+    inbuf_ = data;
+    in_pos_ = i;
+    in_len_ = len;
+    mem_served_ = true;
+    at_line_start_ = true;
+  }
+
   ~Reader() {
     if (f_ != nullptr) gzclose(f_);
   }
 
-  bool ok() const { return f_ != nullptr && fmt_ != FMT_BAD; }
+  bool ok() const {
+    return (mem_mode_ || f_ != nullptr) && fmt_ != FMT_BAD;
+  }
 
   long next_block(int k, int block_reads, int width_words, uint32_t* words,
                   int32_t* lengths) {
@@ -133,11 +164,16 @@ class Reader {
   // per-byte call overhead — the gatb BankFasta buffered-parse analog) ----
   bool refill() {
     if (in_eof_) return false;
-    int n = gzread(f_, inbuf_, (unsigned)sizeof(inbuf_));
+    if (mem_mode_) {  // the whole buffer was served up front
+      in_eof_ = true;
+      return false;
+    }
+    int n = gzread(f_, storage_.data(), (unsigned)storage_.size());
     if (n <= 0) {
       in_eof_ = true;
       return false;
     }
+    inbuf_ = storage_.data();
     in_pos_ = 0;
     in_len_ = (size_t)n;
     return true;
@@ -271,7 +307,12 @@ class Reader {
   gzFile f_ = nullptr;
   Format fmt_ = FMT_BAD;
   std::vector<uint8_t> buf_;
-  uint8_t inbuf_[1 << 20];
+  std::vector<uint8_t> storage_;      // gz-path input buffer
+  const uint8_t* inbuf_ = nullptr;    // storage_ or the caller's memory
+  bool mem_mode_ = false;
+  bool mem_served_ = false;
+  const uint8_t* mem_data_ = nullptr;
+  size_t mem_len_ = 0;
   size_t in_pos_ = 0;
   size_t in_len_ = 0;
   bool in_eof_ = false;
@@ -288,6 +329,15 @@ extern "C" {
 
 void* btpu_open(const char* path) {
   Reader* r = new Reader(path);
+  if (!r->ok()) {
+    delete r;
+    return nullptr;
+  }
+  return r;
+}
+
+void* btpu_open_mem(const void* data, long len) {
+  Reader* r = new Reader(static_cast<const uint8_t*>(data), (size_t)len);
   if (!r->ok()) {
     delete r;
     return nullptr;

@@ -425,7 +425,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 bank.sequences(), cfg, mesh, mcfg,
                 auto_amin_cap=(props.get_int("-abundance-min-threshold")
                                if auto_amin else None),
-                store=store)
+                store=store, reread=lambda: bank.sequences())
         if auto_amin and verbose:
             print(f"auto abundance-min = {cfg.abundance_min}")
         with ti.timer("write"):

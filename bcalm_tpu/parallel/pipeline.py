@@ -377,25 +377,46 @@ def skm_count_fn(mesh: Mesh, k: int, m: int, cap: int, max_span: int,
     return jax.jit(fn)
 
 
-def stack_trim_fn(mesh: Mesh, L: int, cap_out: int):
+def _lex_lt_sh(lanes, bound):
+    """Columnwise lexicographic lanes[:, i] < bound over L uint32 lanes."""
+    L = lanes.shape[0]
+    lt = jnp.zeros(lanes.shape[1], bool)
+    eq = jnp.ones(lanes.shape[1], bool)
+    for j in range(L):
+        lt = lt | (eq & (lanes[j] < bound[j]))
+        eq = eq & (lanes[j] == bound[j])
+    return lt
+
+
+def stack_trim_fn(mesh: Mesh, L: int, cap_out: int, ranged: bool = False):
     """Sharded per-device trim of a counting round's output into ONE
     stacked (L+2, n_dev*cap_out) run (lanes + counts-as-u32 + pos), tails
     sentinel-folded.  Device-resident replacement for the per-round host
     fetch (round-4 VERDICT weak #4: the mesh path funneled every round's
-    distinct runs through host RAM)."""
-    def local(unique, counts, minpos, n_u):
+    distinct runs through host RAM).
+
+    ranged=True additionally folds entries whose key lies outside the
+    global [lo, hi) lex range — the mesh analog of the single-chip
+    multi-pass key-range fold (engine._count_chunk_ranged).  Counting a
+    range-folded trim yields a SHORTER valid prefix than n_u, so the
+    stacked n is recomputed from the fold."""
+    def local(unique, counts, minpos, n_u, lo, hi):
         idx = jnp.arange(cap_out, dtype=jnp.int32)
         keep = idx < n_u[0]
-        lanes = jnp.where(keep[None], unique[:, :cap_out],
-                          count_op.SENTINEL)
+        lanes = unique[:, :cap_out]
+        if ranged:
+            keep = keep & ~_lex_lt_sh(lanes, lo) & _lex_lt_sh(lanes, hi)
+        lanes = jnp.where(keep[None], lanes, count_op.SENTINEL)
         c = jnp.where(keep, counts[:cap_out], 0).astype(jnp.uint32)
         p = jnp.where(keep, minpos[:cap_out], count_op.SENTINEL)
-        return jnp.concatenate([lanes, c[None], p[None]], axis=0)
+        stk = jnp.concatenate([lanes, c[None], p[None]], axis=0)
+        return stk, jnp.sum(keep.astype(jnp.int32))[None]
 
     return jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, AXIS), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=P(None, AXIS), check_vma=False))
+        in_specs=(P(None, AXIS), P(AXIS), P(AXIS), P(AXIS), P(None),
+                  P(None)),
+        out_specs=(P(None, AXIS), P(AXIS)), check_vma=False))
 
 
 def sharded_merge_fn(mesh: Mesh, L: int, cap_out: int):
@@ -534,7 +555,7 @@ class _CapacityLadder:
 def distributed_build(seqs, cfg, mesh: Mesh,
                       mcfg: Optional[MinimizerConfig] = None,
                       auto_amin_cap: Optional[int] = None,
-                      store=None):
+                      store=None, reread=None):
     """Streamed, minimizer-partitioned multi-chip build.
 
     Per round: superkmer routing + exchange + per-device counting on the
@@ -615,11 +636,16 @@ def distributed_build(seqs, cfg, mesh: Mesh,
     _merge_cache: dict = {}
     _trim_cache: dict = {}
 
-    def _stacked(u, c, p, n_dev_arr, cap_out):
-        f = _stack_cache.get(cap_out)
+    zeros_L = jnp.zeros((L,), jnp.uint32)
+    ones_L = jnp.full((L,), count_op.SENTINEL, jnp.uint32)
+
+    def _stacked(u, c, p, n_dev_arr, cap_out, lo_d, hi_d, ranged):
+        key = (cap_out, ranged)
+        f = _stack_cache.get(key)
         if f is None:
-            f = _stack_cache[cap_out] = stack_trim_fn(mesh, L, cap_out)
-        return f(u, c, p, n_dev_arr)
+            f = _stack_cache[key] = stack_trim_fn(mesh, L, cap_out,
+                                                  ranged=ranged)
+        return f(u, c, p, n_dev_arr, lo_d, hi_d)
 
     def merge_two_dev(a, b):
         cap_a = a[0].shape[1] // n_dev
@@ -640,73 +666,203 @@ def distributed_build(seqs, cfg, mesh: Mesh,
             stk = ft(stk)
         return [stk, n_np, max(a[2], b[2]) + 1]
 
-    for words, lengths in itertools.chain(sample, rounds):
-        w_d, l_d = jnp.asarray(words), jnp.asarray(lengths)
-        rb = jnp.asarray(np.uint32(round_base & 0x3FFFFFFF))
-        if arg_shapes is None:
-            arg_shapes = tuple(
-                jax.ShapeDtypeStruct(x.shape, x.dtype)
-                for x in (w_d, l_d, table_d, rank_d, rb))
-            # the next rung compiles in the background from round 1, so an
-            # overflow retry never waits on the remote compile service
-            ladder.prefetch(2 * cap, arg_shapes)
-        while True:
-            unique, counts, minpos, n_unique, stats = fn(
-                w_d, l_d, table_d, rank_d, rb)
-            st = np.asarray(stats)
-            if st[0] == 0:
-                break
-            # overflow-retry: double the exchange capacity and re-run the
-            # round (memory pays only when skew demands it — replaces the
-            # round-1 detect-and-die); the ladder usually has the next
-            # rung compiled already
-            cap *= 2
-            retries += 1
-            if cap > (1 << 24):
-                raise RuntimeError(
-                    f"superkmer exchange overflow persists at cap {cap}")
-            fn = ladder.get(cap) or make_fn(cap)
-            ladder.prefetch(2 * cap, arg_shapes)
-        totals += st
-        round_base += words.shape[0] * words.shape[1] * 16
-        nu = np.asarray(n_unique)
-        per = unique.shape[1] // n_dev
-        cap_d = min(per, eng._round_capacity(max(1, int(nu.max()))))
-        dev_partials.append(
-            [_stacked(unique, counts, minpos, n_unique, cap_d), nu, 0])
-        while (len(dev_partials) >= 2
-               and dev_partials[-1][2] == dev_partials[-2][2]):
+    # per-device residency budget (slots of settled distinct runs): the
+    # mesh analog of EngineConfig.resident_kmers; when any device's
+    # resident distinct exceeds it on pass 1, counting restarts as
+    # MULTI-PASS over global key ranges (reread required)
+    budget_dev = max(cfg.resident_kmers // max(1, n_dev), 1024)
+
+    def run_mesh_pass(round_iter, lo_np, hi_np, ranged, first_pass,
+                      watch_budget):
+        """One full pass over the input for one key range.  Returns
+        (final [stk, n_np] or None-if-empty, 'overflow' flag)."""
+        nonlocal fn, cap, retries, arg_shapes, totals
+        lo_d = jnp.asarray(lo_np) if lo_np is not None else zeros_L
+        hi_d = jnp.asarray(hi_np) if hi_np is not None else ones_L
+        dev_partials.clear()
+        round_base = 0
+        resident = np.zeros((n_dev,), np.int64)
+        for words, lengths in round_iter:
+            w_d, l_d = jnp.asarray(words), jnp.asarray(lengths)
+            rb = jnp.asarray(np.uint32(round_base & 0x3FFFFFFF))
+            if arg_shapes is None:
+                arg_shapes = tuple(
+                    jax.ShapeDtypeStruct(x.shape, x.dtype)
+                    for x in (w_d, l_d, table_d, rank_d, rb))
+                # next rung compiles in the background from round 1, so
+                # an overflow retry never waits on the compile service
+                ladder.prefetch(2 * cap, arg_shapes)
+            while True:
+                unique, counts, minpos, n_unique, rstats = fn(
+                    w_d, l_d, table_d, rank_d, rb)
+                st = np.asarray(rstats)
+                if st[0] == 0:
+                    break
+                # exchange overflow: double the capacity, re-run round
+                cap *= 2
+                retries += 1
+                if cap > (1 << 24):
+                    raise RuntimeError(
+                        f"superkmer exchange overflow persists at {cap}")
+                fn = ladder.get(cap) or make_fn(cap)
+                ladder.prefetch(2 * cap, arg_shapes)
+            if first_pass:
+                totals += st
+            round_base += words.shape[0] * words.shape[1] * 16
+            nu = np.asarray(n_unique)
+            per = unique.shape[1] // n_dev
+            cap_d = min(per, eng._round_capacity(max(1, int(nu.max()))))
+            stk, n_d = _stacked(unique, counts, minpos, n_unique, cap_d,
+                                lo_d, hi_d, ranged)
+            n_np = np.asarray(n_d)
+            dev_partials.append([stk, n_np, 0])
+            resident += n_np.astype(np.int64)
+            while (len(dev_partials) >= 2
+                   and dev_partials[-1][2] == dev_partials[-2][2]):
+                b = dev_partials.pop()
+                a = dev_partials.pop()
+                merged = merge_two_dev(a, b)
+                resident += merged[1].astype(np.int64) \
+                    - a[1].astype(np.int64) - b[1].astype(np.int64)
+                dev_partials.append(merged)
+            if watch_budget and int(resident.max()) > budget_dev:
+                return None, True
+        if first_pass:
+            assert totals[1] == totals[3], \
+                "routed k-mers != extracted k-mers"
+        while len(dev_partials) > 1:
             b = dev_partials.pop()
             a = dev_partials.pop()
             dev_partials.append(merge_two_dev(a, b))
+        if not dev_partials:
+            return None, False
+        final = dev_partials.pop()
+        return [final[0], final[1]], False
 
-    assert totals[1] == totals[3], "routed k-mers != extracted k-mers"
-    while len(dev_partials) > 1:
-        b = dev_partials.pop()
-        a = dev_partials.pop()
-        dev_partials.append(merge_two_dev(a, b))
-    if not dev_partials:
-        return eng.UnitigSet(
-            k=k, seqs=[], kc=np.zeros(0, np.int64), abundances=[],
-            circular=np.zeros(0, bool), links=[], stats={"solid_kmers": 0})
-    final_stk, final_n, _ = dev_partials[0]
+    def pivots_from_partials(final):
+        """Global key-range pivots: per-device quantile keys of the
+        (force-merged) resident runs, merged on host (tiny fetch)."""
+        stk, n_np = final[0], final[1]
+        Q = 32
+        capF = stk.shape[1] // n_dev
 
+        def qlocal(s, n_loc):
+            qi = jnp.clip(((jnp.arange(Q, dtype=jnp.int32) + 1)
+                           * n_loc[0]) // (Q + 1), 0, capF - 1)
+            return s[:L, qi]
+
+        qf = jax.jit(shard_map(
+            qlocal, mesh=mesh, in_specs=(P(None, AXIS), P(AXIS)),
+            out_specs=P(None, AXIS), check_vma=False))
+        qs = np.asarray(qf(stk, jnp.asarray(n_np.astype(np.int32))))
+        cols = sorted({tuple(qs[:, j]) for j in range(qs.shape[1])})
+        return cols
+
+    # ---- pass 1: device-resident, watching the residency budget ----
+    first_rounds = itertools.chain(sample, rounds)
+    final, overflow = run_mesh_pass(first_rounds, None, None, False, True,
+                                    watch_budget=reread is not None)
     finish = finish_count_fn(mesh, L, cfg.histo_max)
-    n_dev_arr = jnp.asarray(final_n.astype(np.int32))
-    amin = cfg.abundance_min
-    if auto_amin_cap is not None:
-        # histogram first (amin=1 pass), derive the cutoff, re-finish
-        _, _, histo_d = finish(final_stk, n_dev_arr,
-                               jnp.asarray(1, jnp.int32),
-                               jnp.asarray(2**31 - 1, jnp.int32))
-        cfg.abundance_min = eng.auto_abundance_min(
-            np.asarray(histo_d), auto_amin_cap)
+    range_results = []   # (solid host triple per range) when multi-pass
+    histo_acc = np.zeros((cfg.histo_max + 1,), np.int64)
+
+    def finish_range(final_pair, amin_val):
+        stk, n_np = final_pair
+        s_stk, n_sol_d, h_d = finish(
+            stk, jnp.asarray(n_np.astype(np.int32)),
+            jnp.asarray(amin_val, jnp.int32),
+            jnp.asarray(cfg.abundance_max, jnp.int32))
+        return s_stk, np.asarray(n_sol_d), np.asarray(h_d)
+
+    if overflow:
+        # ---- multi-pass key ranges (the mesh OOC path): force-merge
+        # what's resident, sample global pivots, restart with P ranges
+        # re-read from the input ----
+        while len(dev_partials) > 1:
+            b = dev_partials.pop()
+            a = dev_partials.pop()
+            dev_partials.append(merge_two_dev(a, b))
+        part = dev_partials.pop()
+        d_now = int(part[1].sum())
+        seen = max(1, int(totals[1]))
+        total_est = max(cfg.est_total_occ, 2 * seen, seen)
+        proj = d_now * (total_est / seen)
+        n_ranges = int(np.clip(
+            np.ceil(1.5 * proj / (budget_dev * n_dev)), 2, 64))
+        cols = pivots_from_partials(part)
+        dev_partials.clear()
+        del part
+        step = max(1, len(cols) // n_ranges)
+        pivots = [np.asarray(cols[j], np.uint32)
+                  for j in range(step - 1, len(cols) - 1, step)][:n_ranges - 1]
+        bounds = ([np.zeros((L,), np.uint32)] + pivots
+                  + [np.full((L,), count_op.SENTINEL, np.uint32)])
+        totals[:] = 0   # recounted from scratch on the ranged passes
+        per_dev_solid = [[] for _ in range(n_dev)]
+        for r in range(len(bounds) - 1):
+            rounds_r = iter_global_blocks(reread(), k, n_dev, block_reads,
+                                          cfg.max_len)
+            final_r, over_r = run_mesh_pass(
+                rounds_r, bounds[r], bounds[r + 1], True, r == 0,
+                watch_budget=False)
+            if final_r is None:
+                continue
+            n_res = int(final_r[1].max())
+            if n_res > 2 * budget_dev:
+                raise RuntimeError(
+                    f"mesh key range still exceeds 2x the per-device "
+                    f"residency budget ({n_res} > 2*{budget_dev}); "
+                    f"raise -max-memory or use fewer ranges/devices")
+            s_stk, n_sol, h_np = finish_range(final_r, cfg.abundance_min)
+            histo_acc += h_np.astype(np.int64)
+            stk_np = np.asarray(s_stk)
+            capF = stk_np.shape[1] // n_dev
+            for d in range(n_dev):
+                sl = stk_np[:, d * capF:(d + 1) * capF]
+                keep = sl[L].astype(np.int32) >= max(1, cfg.abundance_min)
+                per_dev_solid[d].append(sl[:, keep])
+            del s_stk, stk_np
+        per_dev = [np.concatenate(parts, axis=1) if parts
+                   else np.zeros((L + 2, 0), np.uint32)
+                   for parts in per_dev_solid]
+        histo = np.minimum(histo_acc, 2**31 - 1).astype(np.int32)
+        if auto_amin_cap is not None:
+            # auto cutoff with multi-pass: derived from the accumulated
+            # histogram, applied on host (ranges already fetched)
+            cfg.abundance_min = eng.auto_abundance_min(histo, auto_amin_cap)
+            for d in range(n_dev):
+                keepd = per_dev[d][L].astype(np.int32) >= cfg.abundance_min
+                per_dev[d] = per_dev[d][:, keepd]
+        n_solid_np = np.asarray([p.shape[1] for p in per_dev], np.int64)
+        # rebuild the sharded stacked layout for device-side compaction
+        capS = eng._round_capacity(max(16, int(n_solid_np.max())))
+        stk_host = np.zeros((L + 2, n_dev * capS), np.uint32)
+        stk_host[:L] = count_op.SENTINEL
+        stk_host[L + 1] = count_op.SENTINEL
+        for d in range(n_dev):
+            n_d = per_dev[d].shape[1]
+            stk_host[:, d * capS: d * capS + n_d] = per_dev[d]
+        solid_stk = jax.device_put(
+            stk_host, jax.sharding.NamedSharding(mesh, P(None, AXIS)))
         amin = cfg.abundance_min
-    solid_stk, n_solid_d, histo_d = finish(
-        final_stk, n_dev_arr, jnp.asarray(amin, jnp.int32),
-        jnp.asarray(cfg.abundance_max, jnp.int32))
-    histo = np.asarray(histo_d).astype(np.int32)
-    n_solid_np = np.asarray(n_solid_d)
+    else:
+        if final is None:
+            return eng.UnitigSet(
+                k=k, seqs=[], kc=np.zeros(0, np.int64), abundances=[],
+                circular=np.zeros(0, bool), links=[],
+                stats={"solid_kmers": 0})
+        amin = cfg.abundance_min
+        if auto_amin_cap is not None:
+            # histogram first (amin=1 pass), derive the cutoff, re-finish
+            _, _, histo_d = finish(
+                final[0], jnp.asarray(final[1].astype(np.int32)),
+                jnp.asarray(1, jnp.int32),
+                jnp.asarray(2**31 - 1, jnp.int32))
+            cfg.abundance_min = eng.auto_abundance_min(
+                np.asarray(histo_d), auto_amin_cap)
+            amin = cfg.abundance_min
+        solid_stk, n_solid_np, histo = finish_range(final, amin)
+        histo = histo.astype(np.int32)
 
     if store is not None:
         # ONE host fetch of the folded solid run (store checkpoint only)
@@ -730,6 +886,8 @@ def distributed_build(seqs, cfg, mesh: Mesh,
         "minimizer_type": mcfg.minimizer_type,
         "repartition_type": mcfg.repartition_type,
         "exchange_cap_retries": retries,
+        "ooc_ranges": (len(bounds) - 1) if overflow else 1,
+        "ooc_passes": (len(bounds)) if overflow else 1,
         "exchange_ladder_hits": ladder.hits,
         "exchange_max_share": round(max_share, 4),
         "abundance_min": cfg.abundance_min,

@@ -113,3 +113,27 @@ def test_overflow_retry_uses_precompiled_ladder(mesh):
     expect = engine.build_from_seqs(reads, cfg)
     assert brute.canonical_unitig_set(got.seqs) == \
         brute.canonical_unitig_set(expect.seqs)
+
+
+def test_distributed_ooc_ranges_match_single(mesh):
+    """Mesh multi-pass key ranges: a tiny per-device residency budget
+    forces the ranged re-read path; output must equal the single-device
+    build (the `-devices` OOC equality test — round-4 VERDICT item 5)."""
+    k = 21
+    reads = make_reads(9, k, n=1500, glen=20000)
+    cfg = engine.EngineConfig(k=k, abundance_min=1, block_reads=64,
+                              max_len=128)
+    cfg.resident_kmers = 8 * 1024   # per-device budget floor = 1024
+    got = pipeline.distributed_build(
+        reads, cfg, mesh, reread=lambda: iter(reads))
+    assert got.stats.get("ooc_ranges", 1) > 1
+    cfg2 = engine.EngineConfig(k=k, abundance_min=1, block_reads=64,
+                               max_len=128)
+    expect = engine.build_from_seqs(reads, cfg2)
+    assert brute.canonical_unitig_set(got.seqs) == \
+        brute.canonical_unitig_set(expect.seqs)
+    km = lambda us: {
+        brute.unitig_key(s): (int(us.kc[i]), sorted(us.abundances[i]))
+        for i, s in enumerate(us.seqs)
+    }
+    assert km(got) == km(expect)

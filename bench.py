@@ -527,16 +527,18 @@ def main():
         "e2e_warm",
         int(os.environ.get("BENCH_E2E_GENOME", 4_600_000)),
         int(os.environ.get("BENCH_E2E_COVERAGE", 50)), 150, 31, seed=1))
+    # human-chr1-shaped span (BASELINE.md's last named config, k=63):
+    # resident-path counting + hashed-junction-key compaction at L=4.
+    # Runs BEFORE the out-of-core configs: on a slow tunnel day the
+    # budget should sacrifice OOC re-measurements, not a named config.
+    run_config("bigk63", lambda: device_config(
+        "bigk63", 63, 20_000_000, 8, 150, chunk, runs=2, seed=5))
     run_config("spill31", lambda: device_config(
         "spill31", 31, 12_000_000, 15, 150, 4 * 1024 * 1024, runs=1,
         seed=4, resident=1))
     run_config("bigk51", lambda: device_config(
         "bigk51", 51, 20_000_000, 8, 150, chunk, runs=1, seed=3,
         resident=1))
-    # human-chr1-shaped span (BASELINE.md's last named config, k=63):
-    # resident-path counting + hashed-junction-key compaction at L=4
-    run_config("bigk63", lambda: device_config(
-        "bigk63", 63, 20_000_000, 8, 150, chunk, runs=2, seed=5))
     if os.environ.get("BENCH_SCALE"):
         # C. elegans-class scale (BASELINE.md configs), opt-in because
         # generation + runs exceed the default driver budget.  All three

@@ -763,7 +763,6 @@ def distributed_build(seqs, cfg, mesh: Mesh,
     final, overflow = run_mesh_pass(first_rounds, None, None, False, True,
                                     watch_budget=reread is not None)
     finish = finish_count_fn(mesh, L, cfg.histo_max)
-    range_results = []   # (solid host triple per range) when multi-pass
     histo_acc = np.zeros((cfg.histo_max + 1,), np.int64)
 
     def finish_range(final_pair, amin_val):

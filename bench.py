@@ -552,18 +552,22 @@ def main():
         #   realistic2g: 30 Mbp x70 k=31 (2.1G occ) with repeats+errors
         #   bigk51_3g:  k=51 at 50 Mbp x60 — hashed junction keys lift
         #               the old 13 GB exact-key sort ceiling
+        # error rates sized so distinct (genome + ~k new k-mers per
+        # error) stays under ~120M: the backend hits an opaque allocator
+        # ResourceExhausted past ~150-190M distinct (docs/OOC.md) —
+        # e.g. err 0.001 on 3 Gbp at k=31 alone adds ~93M error k-mers
         run_config("celegans", lambda: cli_config(
             "celegans", 100_000_000, 30, 150, 31, seed=7,
             extra_args=("-max-memory", "8000"), check=True,
-            repeat_frac=0.05, err_rate=0.001))
+            repeat_frac=0.05, err_rate=0.0001))
         run_config("realistic2g", lambda: cli_config(
             "realistic2g", 30_000_000, 70, 150, 31, seed=9,
             extra_args=("-max-memory", "8000"), check=True,
-            repeat_frac=0.08, err_rate=0.003))
+            repeat_frac=0.08, err_rate=0.0005))
         run_config("bigk51_3g", lambda: cli_config(
             "bigk51_3g", 50_000_000, 60, 150, 51, seed=8,
             extra_args=("-max-memory", "8000"), check=True,
-            repeat_frac=0.05, err_rate=0.001))
+            repeat_frac=0.05, err_rate=0.0002))
     if skipped:
         out["skipped_over_budget"] = skipped
 

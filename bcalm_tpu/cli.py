@@ -220,29 +220,39 @@ def serve(socket_path: str) -> int:
     while True:
         conn, _ = srv.accept()
         with conn:
-            data = b""
-            while not data.endswith(b"\n"):
-                chunk = conn.recv(1 << 16)
-                if not chunk:
-                    break
-                data += chunk
-            if not data.strip():
-                continue
-            req = json.loads(data)
-            if req.get("op") == "shutdown":
-                conn.sendall(b'{"rc": 0, "output": "bye"}\n')
-                return 0
-            buf = io.StringIO()
             try:
-                with contextlib.redirect_stdout(buf):
-                    rc = main(list(req["argv"]))
-            except SystemExit as e:   # argv errors
-                rc = int(e.code or 0)
-            except Exception as e:    # noqa: BLE001 — report, keep serving
-                buf.write(f"server error: {e!r}\n")
-                rc = 1
-            conn.sendall(json.dumps(
-                {"rc": rc, "output": buf.getvalue()}).encode() + b"\n")
+                data = b""
+                while not data.endswith(b"\n"):
+                    chunk = conn.recv(1 << 16)
+                    if not chunk:
+                        break
+                    data += chunk
+                if not data.strip():
+                    continue
+                try:
+                    req = json.loads(data)
+                except ValueError:
+                    conn.sendall(b'{"rc": 1, "output": "bad request"}\n')
+                    continue
+                if req.get("op") == "shutdown":
+                    conn.sendall(b'{"rc": 0, "output": "bye"}\n')
+                    return 0
+                buf = io.StringIO()
+                try:
+                    with contextlib.redirect_stdout(buf):
+                        rc = main(list(req.get("argv", [])))
+                except SystemExit as e:   # argv errors
+                    rc = e.code if isinstance(e.code, int) else 1
+                except Exception as e:  # noqa: BLE001 — report, keep serving
+                    buf.write(f"server error: {e!r}\n")
+                    rc = 1
+                conn.sendall(json.dumps(
+                    {"rc": rc, "output": buf.getvalue()}).encode() + b"\n")
+            except OSError:
+                # client vanished mid-request/reply: keep serving — the
+                # whole point of the keep-alive process is surviving
+                # flaky clients
+                continue
 
 
 def connect(socket_path: str, argv: List[str]) -> int:
@@ -270,9 +280,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(version_string())
         return 0
     if "-server" in argv:
-        return serve(argv[argv.index("-server") + 1])
+        i = argv.index("-server")
+        if i + 1 >= len(argv):
+            print("-server requires a socket path", file=sys.stderr)
+            return 1
+        return serve(argv[i + 1])
     if "-connect" in argv:
         i = argv.index("-connect")
+        if i + 1 >= len(argv):
+            print("-connect requires a socket path", file=sys.stderr)
+            return 1
         sock = argv[i + 1]
         rest = argv[:i] + argv[i + 2:]
         return connect(sock, rest)

@@ -101,7 +101,8 @@ def iter_blocks_parallel(path: str, k: int, block_reads: int = 4096,
     t = threading.Thread(target=reader, daemon=True)
     t.start()
 
-    with cf.ThreadPoolExecutor(max_workers=n_workers) as pool:
+    pool = cf.ThreadPoolExecutor(max_workers=n_workers)
+    try:
         pending = []      # ordered futures
         done_reading = False
         while True:
@@ -119,6 +120,22 @@ def iter_blocks_parallel(path: str, k: int, block_reads: int = 4096,
             fut = pending.pop(0)      # ordered emission: determinism
             for block in fut.result():
                 yield block
-    t.join()
-    if err:
-        raise err[0]
+        t.join()
+        if err:
+            raise err[0]
+    finally:
+        # consumer may abandon the generator mid-stream (GeneratorExit):
+        # drain the queue so the blocked reader thread can exit instead
+        # of leaking with ~100s of MB of buffered chunks
+        pool.shutdown(wait=False, cancel_futures=True)
+        while t.is_alive():
+            try:
+                item = chunk_q.get_nowait()
+            except Exception:   # noqa: BLE001 — queue.Empty
+                item = False
+            if item is None:
+                break
+            if item is False:
+                import time as _t
+                _t.sleep(0.01)
+        t.join(timeout=5)

@@ -71,9 +71,11 @@ def strand_folded(k: int) -> bool:
 
 
 def exact_key_ops(k: int) -> int:
-    """Sort operand count of the exact-key junction sort (key lanes +
-    strand lane when it doesn't fold + 1 payload)."""
-    return ln.num_lanes(k - 1) + (0 if strand_folded(k) else 1) + 1
+    """Sort operand count of the exact-key junction sort: key lanes + 1
+    payload.  (The halved-entry design emits only strand-0
+    representatives, so the strand bit is NOT among the sort keys —
+    successor_arrays' docstring.)"""
+    return ln.num_lanes(k - 1) + 1
 
 
 def use_hash_keys(k: int) -> bool:

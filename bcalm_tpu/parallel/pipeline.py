@@ -743,7 +743,7 @@ def distributed_build(seqs, cfg, mesh: Mesh,
         """Global key-range pivots: per-device quantile keys of the
         (force-merged) resident runs, merged on host (tiny fetch)."""
         stk, n_np = final[0], final[1]
-        Q = 32
+        Q = 256   # >= 4x the max range count (64): pivots never run short
         capF = stk.shape[1] // n_dev
 
         def qlocal(s, n_loc):

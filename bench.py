@@ -227,23 +227,36 @@ def make_genome(genome_len, rng, repeat_frac=0.0):
     return genome
 
 
-def sample_reads(genome, n_reads, read_len, rng, err_rate=0.0):
+def sample_reads(genome, n_reads, read_len, rng, err_rate=0.0,
+                 dup_frac=0.0):
     """(n_reads, read_len) uint8 codes; substitution errors at err_rate
     (error k-mers inflate the distinct set ~k-fold per error — the
-    realistic counting load real Illumina data presents)."""
-    starts = rng.randint(0, genome.shape[0] - read_len, size=n_reads)
+    realistic counting load real Illumina data presents).
+
+    dup_frac: fraction of reads emitted twice (PCR duplicates).  Errors
+    in duplicated reads reach count 2 and SURVIVE -abundance-min 2 —
+    the realistic mechanism that gives deep short-read assemblies their
+    millions of error-bubble/tip unitigs."""
+    n_orig = int(n_reads / (1.0 + dup_frac)) if dup_frac else n_reads
+    starts = rng.randint(0, genome.shape[0] - read_len, size=n_orig)
     reads = genome[starts[:, None] + np.arange(read_len)[None, :]].copy()
     if err_rate > 0:
-        n_err = rng.binomial(n_reads * read_len, err_rate)
-        pos_r = rng.randint(0, n_reads, size=n_err)
+        n_err = rng.binomial(n_orig * read_len, err_rate)
+        pos_r = rng.randint(0, n_orig, size=n_err)
         pos_c = rng.randint(0, read_len, size=n_err)
         shift = rng.randint(1, 4, size=n_err).astype(np.uint8)
         reads[pos_r, pos_c] = (reads[pos_r, pos_c] + shift) % 4
+    if dup_frac:
+        n_dup = n_reads - n_orig
+        dup_idx = rng.randint(0, n_orig, size=n_dup)
+        reads = np.concatenate([reads, reads[dup_idx]], axis=0)
+        perm = rng.permutation(reads.shape[0])
+        reads = reads[perm]
     return reads
 
 
 def _cached_reads_gz(genome_len, coverage, read_len, seed,
-                     repeat_frac=0.0, err_rate=0.0):
+                     repeat_frac=0.0, err_rate=0.0, dup_frac=0.0):
     """Generate (once) and cache the e2e input FASTA: input generation
     cost 47s of driver budget per run in round 3."""
     import gzip
@@ -251,8 +264,10 @@ def _cached_reads_gz(genome_len, coverage, read_len, seed,
     cache_dir = os.environ.get("BENCH_CACHE_DIR", "/tmp/btpu_bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
     tag = ""
-    if repeat_frac or err_rate:
+    if repeat_frac or err_rate or dup_frac:
         tag = f"_r{repeat_frac:g}_e{err_rate:g}"
+        if dup_frac:
+            tag += f"_d{dup_frac:g}"
     path = os.path.join(
         cache_dir,
         f"reads_g{genome_len}_c{coverage}_l{read_len}_s{seed}{tag}.fa.gz")
@@ -271,7 +286,8 @@ def _cached_reads_gz(genome_len, coverage, read_len, seed,
         chunk_r = 1_000_000
         for base in range(0, n_reads, chunk_r):
             m = min(chunk_r, n_reads - base)
-            codes = lut[sample_reads(genome, m, read_len, rng, err_rate)]
+            codes = lut[sample_reads(genome, m, read_len, rng, err_rate,
+                                     dup_frac=dup_frac)]
             lines = b"\n".join(
                 b">r%d\n%s" % (base + i, codes[i].tobytes())
                 for i in range(m)
@@ -284,7 +300,8 @@ def _cached_reads_gz(genome_len, coverage, read_len, seed,
 
 
 def cli_config(name, genome_len, coverage, read_len, k, seed,
-               extra_args=(), check=False, repeat_frac=0.0, err_rate=0.0):
+               extra_args=(), check=False, repeat_frac=0.0, err_rate=0.0,
+               dup_frac=0.0):
     """Full CLI run: gzipped FASTA on disk -> unitigs.fa (native ingest,
     counting, compaction, links, write).  Wall-clock + peak RSS +
     stage-derived glued/s.
@@ -299,7 +316,7 @@ def cli_config(name, genome_len, coverage, read_len, k, seed,
 
     reads_path = _cached_reads_gz(genome_len, coverage, read_len, seed,
                                   repeat_frac=repeat_frac,
-                                  err_rate=err_rate)
+                                  err_rate=err_rate, dup_frac=dup_frac)
     n_reads = genome_len * coverage // read_len
     d = tempfile.mkdtemp(prefix="btpu_bench_")
     local = os.path.join(d, "reads.fa.gz")
@@ -556,14 +573,26 @@ def main():
         # error) stays under ~120M: the backend hits an opaque allocator
         # ResourceExhausted past ~150-190M distinct (docs/OOC.md) —
         # e.g. err 0.001 on 3 Gbp at k=31 alone adds ~93M error k-mers
+        # -max-memory 6000 (not 8000): the ~110M-distinct load OOMs the
+        # allocator with 8000's 2^26-cap merge transients; 6000 sizes
+        # 2^25-cap merges (1.6 GB transient) at the cost of ~2 extra
+        # passes (docs/OOC.md round-5 notes)
         run_config("celegans", lambda: cli_config(
             "celegans", 100_000_000, 30, 150, 31, seed=7,
-            extra_args=("-max-memory", "8000"), check=True,
+            extra_args=("-max-memory", "6000"), check=True,
             repeat_frac=0.05, err_rate=0.0001))
         run_config("realistic2g", lambda: cli_config(
             "realistic2g", 30_000_000, 70, 150, 31, seed=9,
             extra_args=("-max-memory", "8000"), check=True,
             repeat_frac=0.08, err_rate=0.0005))
+        # million-unitig evidence: PCR duplicates let error k-mers reach
+        # count 2 and survive -abundance-min — every surviving error
+        # site spawns a bubble/tip, the mechanism behind real deep
+        # short-read assemblies' unitig counts
+        run_config("errorgraph2g", lambda: cli_config(
+            "errorgraph2g", 30_000_000, 70, 150, 31, seed=10,
+            extra_args=("-max-memory", "6000"), check=True,
+            repeat_frac=0.05, err_rate=0.0008, dup_frac=0.2))
         run_config("bigk51_3g", lambda: cli_config(
             "bigk51_3g", 50_000_000, 60, 150, 51, seed=8,
             extra_args=("-max-memory", "8000"), check=True,

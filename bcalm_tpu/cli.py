@@ -274,6 +274,31 @@ def connect(socket_path: str, argv: List[str]) -> int:
     return int(resp.get("rc", 1))
 
 
+def _respawn_skip_bcalm(argv: List[str], err: Exception) -> Optional[int]:
+    """Continue a compaction-OOM'd run in a fresh process.
+
+    After a long multi-pass count the device allocator can be too
+    fragmented for the contiguous multi-GB junction sort even though a
+    fresh backend compacts the identical solid set fine (observed at
+    ~100M solid k=31, docs/OOC.md round-5).  The solid set is already
+    checkpointed, so re-exec the identical command with -skip-bcalm:
+    compaction restarts on a clean allocator and the child owns the rest
+    of the run (output, store cleanup, exit code).  Returns the child's
+    exit code, or None when respawning is not applicable (already a
+    respawned child, or the user asked for -skip-bcalm themselves).
+    The reference's staged pipeline restarts stages from its .h5 disk
+    checkpoint the same way (test/simple_test.sh:4-9)."""
+    import subprocess
+
+    if os.environ.get("BTPU_NO_RESPAWN") == "1" or "-skip-bcalm" in argv:
+        return None
+    print(f"{err} — restarting compaction in a fresh process",
+          file=sys.stderr)
+    env = dict(os.environ, BTPU_NO_RESPAWN="1")
+    return subprocess.call(
+        [sys.executable, "-m", "bcalm_tpu", *argv, "-skip-bcalm"], env=env)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if "-version" in argv or "--version" in argv:
@@ -539,16 +564,23 @@ def main(argv: Optional[List[str]] = None) -> int:
                 # counting, so single-pass runs never stage the packed
                 # input to disk (round-4 ADVICE: the block cache is for
                 # library callers with one-shot iterators only)
-                built_us = engine.build_from_blocks(
-                    counted_blocks(), cfg, store=store,
-                    reread=lambda: _input_blocks(
-                        bank, cfg, verbose,
-                        nb_cores=props.get_int("-nb-cores")),
-                    auto_amin_cap=(props.get_int("-abundance-min-threshold")
-                                   if auto_amin else None),
-                    only_uf=props.get_bool("-only-uf"),
-                    uf_stats=props.get_bool("-uf-stats"),
-                    solidity_kind=solidity_kind)
+                try:
+                    built_us = engine.build_from_blocks(
+                        counted_blocks(), cfg, store=store,
+                        reread=lambda: _input_blocks(
+                            bank, cfg, verbose,
+                            nb_cores=props.get_int("-nb-cores")),
+                        auto_amin_cap=(props.get_int(
+                            "-abundance-min-threshold")
+                            if auto_amin else None),
+                        only_uf=props.get_bool("-only-uf"),
+                        uf_stats=props.get_bool("-uf-stats"),
+                        solidity_kind=solidity_kind)
+                except engine.CompactionOOM as e:
+                    rc = _respawn_skip_bcalm(argv, e)
+                    if rc is not None:
+                        return rc
+                    raise
             progress.done()
             if built_us is not None and ingest_t["t1"]:
                 # stream rate measured over the packing loop (overlapped

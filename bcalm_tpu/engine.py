@@ -36,6 +36,20 @@ from bcalm_tpu.ops import junctions as junctions_op
 from bcalm_tpu.utils import dna
 
 
+class CompactionOOM(RuntimeError):
+    """Device allocator exhausted during compaction AFTER the counted
+    solid set was checkpointed to the store — the run is resumable with
+    `-skip-bcalm` in a fresh process (clean allocator)."""
+
+
+def _is_resource_exhausted(e: BaseException) -> bool:
+    # the axon/PJRT backends surface allocator death as XlaRuntimeError
+    # with RESOURCE_EXHAUSTED / ResourceExhausted in the message; match
+    # on text so no backend-specific exception types are imported
+    s = f"{type(e).__name__}: {e}"
+    return "RESOURCE_EXHAUSTED" in s or "ResourceExhausted" in s
+
+
 @dataclass
 class EngineConfig:
     k: int = 31
@@ -1593,10 +1607,24 @@ def build_from_blocks(blocks: Iterator[packing.ReadBlock], cfg: EngineConfig,
         write_store(solid_np, counts_np[keep],
                     None if minpos is None else minpos[keep], histo)
         _t1 = _t.time()
-        us = compact_from_counts(
-            solid_np, counts_np[keep], cfg, only_uf=only_uf,
-            uf_stats=uf_stats,
-            minpos_np=None if minpos is None else minpos[keep])
+        try:
+            us = compact_from_counts(
+                solid_np, counts_np[keep], cfg, only_uf=only_uf,
+                uf_stats=uf_stats,
+                minpos_np=None if minpos is None else minpos[keep])
+        except Exception as e:  # noqa: BLE001 — classify allocator death
+            # After a long multi-pass count the backend allocator can be
+            # too fragmented for the contiguous multi-GB junction sort
+            # even though a FRESH process compacts the same set fine
+            # (observed at ~100M solid, docs/OOC.md round-5).  The solid
+            # set was checkpointed above, so a clean-allocator resume
+            # loses nothing — signal it instead of dying.
+            if store is not None and _is_resource_exhausted(e):
+                raise CompactionOOM(
+                    "device allocator exhausted during compaction; the "
+                    "counted solid set is checkpointed — resume with "
+                    "-skip-bcalm in a fresh process") from e
+            raise
         stats["t_compact_s"] = round(_t.time() - _t1, 2)
         us.histogram = histo
         us.stats.update(stats)

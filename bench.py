@@ -592,10 +592,14 @@ def main():
         # count 2 and survive -abundance-min — every surviving error
         # site spawns a bubble/tip, the mechanism behind real deep
         # short-read assemblies' unitig counts
+        # err 0.0013: the 0.0008 run produced 660k unitigs (BENCH_SCALE
+        # errorgraph2g_r5); surviving error sites scale linearly with
+        # err, and ~430k sites put the graph past 1M unitigs while
+        # total distinct (~85M) stays under the ~120M allocator wall
         run_config("errorgraph2g", lambda: cli_config(
             "errorgraph2g", 30_000_000, 70, 150, 31, seed=10,
             extra_args=("-max-memory", "6000"), check=True,
-            repeat_frac=0.05, err_rate=0.0008, dup_frac=0.2))
+            repeat_frac=0.05, err_rate=0.0013, dup_frac=0.2))
         run_config("bigk51_3g", lambda: cli_config(
             "bigk51_3g", 50_000_000, 60, 150, 51, seed=8,
             extra_args=("-max-memory", "8000"), check=True,

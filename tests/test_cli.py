@@ -435,3 +435,52 @@ def test_devices_refuses_min_max_solidity(tmp_path):
                    "-abundance-min", "1", "-out", str(tmp_path / "o"),
                    "-devices", "4", "-solidity-kind", "min"])
     assert rc == 1
+
+
+def test_compaction_oom_respawns_skip_bcalm(tmp_path, monkeypatch, capsys):
+    """A CompactionOOM from the build (allocator death after the counting
+    checkpoint) re-execs the identical command with -skip-bcalm in a
+    fresh process and returns the child's exit code; a respawned child
+    (BTPU_NO_RESPAWN=1) or an explicit -skip-bcalm run never loops."""
+    import subprocess
+
+    fa = tmp_path / "r.fa"
+    write_fasta_file(fa, [TINY] * 3)
+
+    def boom(*a, **kw):
+        raise engine.CompactionOOM(
+            "device allocator exhausted during compaction; the counted "
+            "solid set is checkpointed — resume with -skip-bcalm in a "
+            "fresh process")
+
+    monkeypatch.setattr(engine, "build_from_blocks", boom)
+    calls = []
+
+    def fake_call(cmd, env=None):
+        calls.append((cmd, env))
+        return 0
+
+    monkeypatch.setattr(subprocess, "call", fake_call)
+    args = ["-in", str(fa), "-kmer-size", "13", "-abundance-min", "1",
+            "-verbose", "0"]
+    rc = cli.main(args)
+    assert rc == 0
+    assert len(calls) == 1
+    cmd, env = calls[0]
+    assert cmd[-1] == "-skip-bcalm" and "-in" in cmd
+    assert env["BTPU_NO_RESPAWN"] == "1"
+
+    # respawned child must not respawn again: the OOM propagates
+    monkeypatch.setenv("BTPU_NO_RESPAWN", "1")
+    calls.clear()
+    with pytest.raises(engine.CompactionOOM):
+        cli.main(args)
+    assert not calls
+
+
+def test_is_resource_exhausted_classifier():
+    assert engine._is_resource_exhausted(
+        RuntimeError("RESOURCE_EXHAUSTED: TPU backend error"))
+    assert engine._is_resource_exhausted(
+        RuntimeError("TPU backend error (ResourceExhausted)"))
+    assert not engine._is_resource_exhausted(ValueError("shape mismatch"))
